@@ -1,0 +1,480 @@
+"""Ghost-cell filling as vectorized gather/compute/scatter over the box batch.
+
+Re-designs the reference's ``afivo/src/m_af_ghostcell.f90``: instead of
+per-box subroutine calls, each (level, direction, case) group of box faces is
+handled by one batched gather + arithmetic + scatter, with the index tables
+("plans") precomputed on the host at refinement epochs.
+
+Cases per face (af_gc_box, ``m_af_ghostcell.f90:66-123``):
+
+* same-level neighbor: copy the neighbor's interior layer;
+* refinement boundary: interpolate between the coarse neighbor of the parent
+  and the fine interior (af_gc_interp ``:394-498``, af_gc_interp_lim
+  ``:503-612``, mg_sides_rb ``m_af_multigrid.f90:294-461``, or
+  af_gc_prolong_copy ``:379-390``);
+* physical boundary: bc_to_gc with Dirichlet / Neumann / continuous /
+  Dirichlet-copy coefficients (``:173-279``).
+
+Corner (and 3D edge) ghost cells are filled in a second phase
+(af_gc_box_corner ``:125-170``), copying from diagonal neighbors or
+extrapolating linearly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import spatial as sp
+from .tree import Tree, NO_BOX, PHYS_BOUNDARY, neighb_dim, neighb_low
+
+# Boundary condition types (m_af_types.f90)
+BC_DIRICHLET = 1
+BC_NEUMANN = 2
+BC_CONTINUOUS = 3
+BC_DIRICHLET_COPY = 4
+
+# Refinement-boundary methods
+RB_INTERP = "interp"          # af_gc_interp
+RB_INTERP_LIM = "interp_lim"  # af_gc_interp_lim
+RB_MG = "mg_sides_rb"         # mg_sides_rb (preserves diffusive fluxes)
+RB_PROLONG_COPY = "prolong_copy"  # af_gc_prolong_copy
+
+
+class _DirPlan:
+    """Index tables for one (level, direction) pair."""
+
+    def __init__(self):
+        self.copy_ids = np.zeros(0, np.int32)
+        self.copy_nb = np.zeros(0, np.int32)
+        self.bc_ids = np.zeros(0, np.int32)
+        self.bc_coords = None  # [n_bc, F, ndim]
+        self.rb_ids = np.zeros(0, np.int32)
+        self.rb_coarse = np.zeros(0, np.int32)
+        self.rb_parent = np.zeros(0, np.int32)
+        # gather tables for rb methods
+        self.rb_c1 = None  # [n_rb, F] coarse-neighbor cell per ghost cell
+        self.rb_c2 = None  # [n_rb, F]
+        self.rb_c3 = None  # [n_rb, F] (3D only)
+        self.rb_tmp = None  # [n_rb, T] coarse strip for mg_sides_rb
+        self.rb_pcopy = None  # [n_rb, F] parent cells for prolong_copy
+
+
+class GcLevelPlan:
+    """All index tables to fill one ghost layer on one level."""
+
+    def __init__(self, tree: Tree, lvl: int):
+        ndim, nc = tree.ndim, tree.nc
+        self.ndim, self.nc, self.lvl = ndim, nc, lvl
+        self.dr = tree.lvl_dr(lvl)
+        ids = tree.lvl_ids[lvl - 1]
+        self.dirs: List[_DirPlan] = []
+        hnc = nc // 2
+
+        for d in range(2 * ndim):
+            dim, low = neighb_dim(d), neighb_low(d)
+            p = _DirPlan()
+            g_idx = 0 if low else nc + 1          # ghost layer index
+            f1_idx = 1 if low else nc             # first interior
+            f2_idx = 2 if low else nc - 1         # second interior
+            nbi_idx = nc if low else 1            # neighbor interior layer
+            cge_idx = nc if low else 1            # coarse nb layer (ix_c)
+
+            # Static per-direction spatial index tables
+            gs = sp.cc_flat(ndim, nc, *sp.face_transverse_axes(ndim, nc, dim, g_idx))
+            f1 = sp.cc_flat(ndim, nc, *sp.face_transverse_axes(ndim, nc, dim, f1_idx))
+            f2 = sp.cc_flat(ndim, nc, *sp.face_transverse_axes(ndim, nc, dim, f2_idx))
+            nbs = sp.cc_flat(ndim, nc, *sp.face_transverse_axes(ndim, nc, dim, nbi_idx))
+            p.ghost_sidx, p.f1_sidx, p.f2_sidx, p.nbint_sidx = gs, f1, f2, nbs
+
+            copy_ids, copy_nb, bc_ids, rb_ids = [], [], [], []
+            for bid in ids:
+                nb = int(tree.neighbors[bid, d])
+                if nb >= 0:
+                    copy_ids.append(bid)
+                    copy_nb.append(nb)
+                elif nb == NO_BOX:
+                    rb_ids.append(int(bid))
+                else:
+                    bc_ids.append(int(bid))
+            p.copy_ids = np.asarray(copy_ids, np.int32)
+            p.copy_nb = np.asarray(copy_nb, np.int32)
+            p.bc_ids = np.asarray(bc_ids, np.int32)
+            p.rb_ids = np.asarray(rb_ids, np.int32)
+
+            # face coordinates for BC evaluation (af_get_face_coords)
+            if len(bc_ids):
+                coords = []
+                for bid in bc_ids:
+                    r0 = tree.box_r_min(np.asarray([bid]))[0]
+                    dr = tree.lvl_dr(lvl)
+                    axes = []
+                    for k in range(ndim):
+                        if k == dim:
+                            face_x = r0[k] if low else r0[k] + nc * dr[k]
+                            axes.append(np.array([face_x]))
+                        else:
+                            axes.append(r0[k] + (np.arange(nc) + 0.5) * dr[k])
+                    mesh = np.meshgrid(*axes, indexing="ij")
+                    coords.append(np.stack([m.ravel() for m in mesh], axis=-1))
+                p.bc_coords = np.asarray(coords)  # [n_bc, F, ndim]
+
+            # refinement-boundary gather tables
+            if len(rb_ids):
+                n_rb = len(rb_ids)
+                F = nc ** (ndim - 1)
+                p.rb_parent = tree.parent[p.rb_ids].astype(np.int32)
+                p.rb_coarse = tree.neighbors[p.rb_parent, d].astype(np.int32)
+                c1 = np.zeros((n_rb, F), np.int32)
+                c2 = np.zeros((n_rb, F), np.int32)
+                c3 = np.zeros((n_rb, F), np.int32) if ndim == 3 else None
+                pcopy = np.zeros((n_rb, F), np.int32)
+                tdims = [k for k in range(ndim) if k != dim]
+                if ndim == 1:
+                    T = 1
+                elif ndim == 2:
+                    T = hnc + 2
+                else:
+                    T = (hnc + 2) ** 2
+                tmp = np.zeros((n_rb, T), np.int32)
+
+                for n_i, bid in enumerate(p.rb_ids):
+                    off = tree.child_offset(int(bid))  # [ndim], 0 or nc/2
+                    # per-ghost-cell coarse indices (1-based like reference)
+                    # transverse fine index arrays j=1..nc
+                    if ndim == 1:
+                        c1[n_i, 0] = sp.cc_flat(1, nc, cge_idx)[0]
+                        c2[n_i, 0] = c1[n_i, 0]
+                        tmp[n_i, 0] = c1[n_i, 0]
+                        # prolong_copy: parent cell containing my ghost cell
+                        my_g = g_idx  # 0 or nc+1
+                        pc = off[dim] + (my_g + 1) // 2
+                        pcopy[n_i, 0] = sp.cc_flat(1, nc, pc)[0]
+                    elif ndim == 2:
+                        td = tdims[0]
+                        j = np.arange(1, nc + 1)
+                        j_c1 = off[td] + (j + 1) // 2
+                        j_c2 = j_c1 + 1 - 2 * (j & 1)
+                        if dim == 0:
+                            c1[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [np.full(nc, cge_idx), j_c1], -1))
+                            c2[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [np.full(nc, cge_idx), j_c2], -1))
+                        else:
+                            c1[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [j_c1, np.full(nc, cge_idx)], -1))
+                            c2[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [j_c2, np.full(nc, cge_idx)], -1))
+                        # mg tmp strip: coarse cells off+0 .. off+hnc+1
+                        # (incl. the coarse box's own side ghosts)
+                        jt = off[td] + np.arange(0, hnc + 2)
+                        if dim == 0:
+                            tmp[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [np.full(hnc + 2, cge_idx), jt], -1))
+                        else:
+                            tmp[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [jt, np.full(hnc + 2, cge_idx)], -1))
+                        # prolong_copy from parent box
+                        my_g = np.full(nc, g_idx)
+                        pc_d = off[dim] + (my_g + 1) // 2
+                        pc_t = off[td] + (j + 1) // 2
+                        if dim == 0:
+                            pcopy[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [pc_d, pc_t], -1))
+                        else:
+                            pcopy[n_i] = sp.cc_flat_nd(2, nc, np.stack(
+                                [pc_t, pc_d], -1))
+                    else:  # ndim == 3
+                        td1, td2 = tdims
+                        j = np.arange(1, nc + 1)
+                        jj, kk = np.meshgrid(j, j, indexing="ij")
+                        jj, kk = jj.ravel(), kk.ravel()
+                        j_c1 = off[td1] + (jj + 1) // 2
+                        j_c2 = j_c1 + 1 - 2 * (jj & 1)
+                        k_c1 = off[td2] + (kk + 1) // 2
+                        k_c2 = k_c1 + 1 - 2 * (kk & 1)
+                        base = np.full(nc * nc, cge_idx)
+
+                        def put3(a, b, cdim):
+                            v = np.zeros((nc * nc, 3), np.int64)
+                            v[:, dim] = cdim
+                            v[:, td1] = a
+                            v[:, td2] = b
+                            return sp.cc_flat_nd(3, nc, v)
+
+                        c1[n_i] = put3(j_c1, k_c1, base)
+                        c2[n_i] = put3(j_c2, k_c1, base)
+                        c3[n_i] = put3(j_c1, k_c2, base)
+                        jt = off[td1] + np.arange(0, hnc + 2)
+                        kt = off[td2] + np.arange(0, hnc + 2)
+                        jm, km = np.meshgrid(jt, kt, indexing="ij")
+                        v = np.zeros(((hnc + 2) ** 2, 3), np.int64)
+                        v[:, dim] = cge_idx
+                        v[:, td1] = jm.ravel()
+                        v[:, td2] = km.ravel()
+                        tmp[n_i] = sp.cc_flat_nd(3, nc, v)
+                        pc_d = off[dim] + (g_idx + 1) // 2
+                        v = np.zeros((nc * nc, 3), np.int64)
+                        v[:, dim] = pc_d
+                        v[:, td1] = off[td1] + (jj + 1) // 2
+                        v[:, td2] = off[td2] + (kk + 1) // 2
+                        pcopy[n_i] = sp.cc_flat_nd(3, nc, v)
+                p.rb_c1, p.rb_c2, p.rb_c3 = c1, c2, c3
+                p.rb_tmp, p.rb_pcopy = tmp, pcopy
+            self.dirs.append(p)
+
+        # ------------------------------------------------ corner/edge plans
+        # 2D corners and 3D corners; 3D edges are handled before corners.
+        self.corner_plans = []
+        self.edge_plans = []
+        if ndim >= 2:
+            for pos, di in sp.corner_list(ndim, nc):
+                copy_ids, copy_nb = [], []
+                ext_ids = []
+                for bid in ids:
+                    nb = tree.neighbor_mat(int(bid), np.sign(di) * -1)
+                    # di is inward; the diagonal neighbor offset is -di
+                    if nb >= 0:
+                        copy_ids.append(int(bid))
+                        copy_nb.append(int(nb))
+                    else:
+                        ext_ids.append(int(bid))
+                # neighbor cell: ghost position maps to neighbor interior:
+                # e.g. pos 0 -> neighbor nc, pos nc+1 -> neighbor 1
+                nb_pos = np.where(pos == 0, nc, np.where(pos == nc + 1, 1, pos))
+                plan = {
+                    "pos_sidx": sp.cc_flat_nd(ndim, nc, pos),
+                    "nb_sidx": sp.cc_flat_nd(ndim, nc, nb_pos),
+                    "copy_ids": np.asarray(copy_ids, np.int32),
+                    "copy_nb": np.asarray(copy_nb, np.int32),
+                    "ext_ids": np.asarray(ext_ids, np.int32),
+                }
+                # extrapolation neighbors (af_corner_gc_extrap)
+                if ndim == 2:
+                    a = pos.copy(); a[0] += di[0]
+                    b = pos.copy(); b[1] += di[1]
+                    c = pos + di
+                    plan["ext_a"] = sp.cc_flat_nd(2, nc, a)
+                    plan["ext_b"] = sp.cc_flat_nd(2, nc, b)
+                    plan["ext_c"] = sp.cc_flat_nd(2, nc, c)
+                else:
+                    # 3D: corner = a + b + c - 2*d with a,b,c the three
+                    # edge-adjacent cells and d the diagonal one
+                    pa = pos.copy(); pa[1] += di[1]; pa[2] += di[2]
+                    pb = pos.copy(); pb[0] += di[0]; pb[2] += di[2]
+                    pc_ = pos.copy(); pc_[0] += di[0]; pc_[1] += di[1]
+                    pd = pos + di
+                    plan["ext_a"] = sp.cc_flat_nd(3, nc, pa)
+                    plan["ext_b"] = sp.cc_flat_nd(3, nc, pb)
+                    plan["ext_c"] = sp.cc_flat_nd(3, nc, pc_)
+                    plan["ext_d"] = sp.cc_flat_nd(3, nc, pd)
+                self.corner_plans.append(plan)
+        if ndim == 3:
+            # 12 edges: pairs of dims with fixed 0/nc+1 position, the third
+            # dim running 1..nc (af_gc_box_corner 3D / af_edge_gc_extrap)
+            import itertools as it
+            for dim_edge in range(3):
+                odims = [k for k in range(3) if k != dim_edge]
+                for bits in it.product([0, 1], repeat=2):
+                    pos2 = [nc + 1 if b else 0 for b in bits]
+                    di2 = [-1 if b else 1 for b in bits]
+                    off = np.zeros(3, np.int64)
+                    off[odims[0]] = 1 if bits[0] else -1
+                    off[odims[1]] = 1 if bits[1] else -1
+                    copy_ids, copy_nb, ext_ids = [], [], []
+                    for bid in ids:
+                        nb = tree.neighbor_mat(int(bid), off)
+                        if nb >= 0:
+                            copy_ids.append(int(bid))
+                            copy_nb.append(int(nb))
+                        else:
+                            ext_ids.append(int(bid))
+                    run = np.arange(1, nc + 1)
+
+                    def line_idx(vals0, vals1, runvals):
+                        v = np.zeros((nc, 3), np.int64)
+                        v[:, odims[0]] = vals0
+                        v[:, odims[1]] = vals1
+                        v[:, dim_edge] = runvals
+                        return sp.cc_flat_nd(3, nc, v)
+
+                    g0, g1 = pos2
+                    n0 = nc if g0 == 0 else 1
+                    n1 = nc if g1 == 0 else 1
+                    plan = {
+                        "pos_sidx": line_idx(g0, g1, run),
+                        "nb_sidx": line_idx(n0, n1, run),
+                        "copy_ids": np.asarray(copy_ids, np.int32),
+                        "copy_nb": np.asarray(copy_nb, np.int32),
+                        "ext_ids": np.asarray(ext_ids, np.int32),
+                        "ext_a": line_idx(g0 + di2[0], g1, run),
+                        "ext_b": line_idx(g0, g1 + di2[1], run),
+                        "ext_c": line_idx(g0 + di2[0], g1 + di2[1], run),
+                    }
+                    self.edge_plans.append(plan)
+
+
+def get_gc_plan(tree: Tree, lvl: int) -> GcLevelPlan:
+    cache = getattr(tree, "_gc_plan_cache", None)
+    if cache is None or cache.get("epoch") != tree.epoch:
+        cache = {"epoch": tree.epoch}
+        tree._gc_plan_cache = cache
+    if lvl not in cache:
+        cache[lvl] = GcLevelPlan(tree, lvl)
+    return cache[lvl]
+
+
+def _xp(arr):
+    """Backend dispatch: NumPy in host/eager mode, jnp under jit/tracing."""
+    return np if isinstance(arr, np.ndarray) else jnp
+
+
+def _gat(cc, ivs, ids, sidx):
+    """Gather cc values: returns [n_iv, n, F]. Works for numpy and jnp."""
+    ivs = np.asarray(ivs)
+    ids = np.asarray(ids)
+    sidx = np.atleast_1d(np.asarray(sidx))
+    if sidx.ndim == 1:
+        return cc[ivs[:, None, None], ids[None, :, None], sidx[None, None, :]]
+    return cc[ivs[:, None, None], ids[None, :, None], sidx[None, :, :]]
+
+
+def _scat(cc, ivs, ids, sidx, vals):
+    ivs = np.asarray(ivs)
+    ids = np.asarray(ids)
+    sidx = np.atleast_1d(np.asarray(sidx))
+    if sidx.ndim == 1:
+        idx = (ivs[:, None, None], ids[None, :, None], sidx[None, None, :])
+    else:
+        idx = (ivs[:, None, None], ids[None, :, None], sidx[None, :, :])
+    if isinstance(cc, np.ndarray):
+        cc[idx] = vals
+        return cc
+    return cc.at[idx].set(vals)
+
+
+def bc_to_ghost(bc_type: int, bc_val, inner1, inner2, dr_dim: float,
+                high: bool):
+    """bc_to_gc coefficients (``m_af_ghostcell.f90:176-213``)."""
+    if bc_type == BC_DIRICHLET:
+        return 2.0 * bc_val - inner1
+    if bc_type == BC_NEUMANN:
+        sign = 1.0 if high else -1.0
+        return inner1 + sign * dr_dim * bc_val
+    if bc_type == BC_CONTINUOUS:
+        return 2.0 * inner1 - inner2
+    if bc_type == BC_DIRICHLET_COPY:
+        return bc_val + 0.0 * inner1
+    raise ValueError("unknown bc type")
+
+
+def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
+                    params=None, corners: bool = True):
+    """Fill one ghost layer for variables ivs on one level.
+
+    bc_fn(iv, d, coords, params) -> (bc_type, values); values broadcastable
+    to [n_bc, F].
+    """
+    ndim, nc = plan.ndim, plan.nc
+    ivs = np.asarray(ivs, dtype=np.int32)
+    params = params or {}
+
+    for d, p in enumerate(plan.dirs):
+        dim, low = neighb_dim(d), neighb_low(d)
+        # --- same-level copy
+        if len(p.copy_ids):
+            vals = _gat(cc, ivs, p.copy_nb, p.nbint_sidx)
+            cc = _scat(cc, ivs, p.copy_ids, p.ghost_sidx, vals)
+        # --- physical boundaries
+        if len(p.bc_ids):
+            in1 = _gat(cc, ivs, p.bc_ids, p.f1_sidx)
+            in2 = _gat(cc, ivs, p.bc_ids, p.f2_sidx)
+            out = []
+            for i, iv in enumerate(ivs):
+                bc_type, bc_val = bc_fn(int(iv), d, p.bc_coords, params)
+                out.append(bc_to_ghost(bc_type, bc_val, in1[i], in2[i],
+                                       plan.dr[dim], not low))
+            cc = _scat(cc, ivs, p.bc_ids, p.ghost_sidx, _xp(cc).stack(out))
+        # --- refinement boundaries
+        if len(p.rb_ids):
+            fine1 = _gat(cc, ivs, p.rb_ids, p.f1_sidx)
+            if rb_method in (RB_INTERP, RB_INTERP_LIM):
+                c1 = _gat(cc, ivs, p.rb_coarse, p.rb_c1)
+                if ndim == 1:
+                    ghost = (2.0 * c1 + fine1) / 3.0
+                elif ndim == 2:
+                    c2 = _gat(cc, ivs, p.rb_coarse, p.rb_c2)
+                    ghost = 0.5 * c1 + c2 / 6.0 + fine1 / 3.0
+                else:
+                    c2 = _gat(cc, ivs, p.rb_coarse, p.rb_c2)
+                    c3 = _gat(cc, ivs, p.rb_coarse, p.rb_c3)
+                    ghost = (c1 + fine1) / 3.0 + (c2 + c3) / 6.0
+                if rb_method == RB_INTERP_LIM:
+                    ghost = _xp(cc).minimum(ghost, 2.0 * c1)
+            elif rb_method == RB_MG:
+                fine2 = _gat(cc, ivs, p.rb_ids, p.f2_sidx)
+                tmp = _gat(cc, ivs, p.rb_coarse, p.rb_tmp)
+                gc = _mg_rb_interp(tmp, ndim, nc)
+                ghost = 0.5 * gc + 0.75 * fine1 - 0.25 * fine2
+            elif rb_method == RB_PROLONG_COPY:
+                ghost = _gat(cc, ivs, p.rb_parent, p.rb_pcopy)
+            else:
+                raise ValueError(f"unknown rb method {rb_method}")
+            cc = _scat(cc, ivs, p.rb_ids, p.ghost_sidx, ghost)
+
+    if corners and ndim >= 2:
+        for plan_e in plan.edge_plans:
+            cc = _fill_corner_group(cc, ivs, plan_e, is_edge=True)
+        for plan_c in plan.corner_plans:
+            cc = _fill_corner_group(cc, ivs, plan_c, is_edge=False)
+    return cc
+
+
+def _mg_rb_interp(tmp, ndim: int, nc: int):
+    xp = _xp(tmp)
+    """Interpolate the coarse strip next to a fine box to positions straight
+    next to the fine cells (mg_sides_rb, ``m_af_multigrid.f90:361-388``).
+
+    tmp: [n_iv, n, T]; returns gc [n_iv, n, nc^(ndim-1)].
+    """
+    if ndim == 1:
+        return tmp[:, :, 0:1]
+    hnc = nc // 2
+    if ndim == 2:
+        # tmp has hnc+2 entries (0..hnc+1); fine j = 2i-1, 2i for i=1..hnc
+        center = tmp[:, :, 1:hnc + 1]
+        grad = 0.125 * (tmp[:, :, 2:hnc + 2] - tmp[:, :, 0:hnc])
+        gc = xp.stack([center - grad, center + grad], axis=-1)
+        return gc.reshape(tmp.shape[0], tmp.shape[1], nc)
+    # 3D: tmp [.., (hnc+2)**2] over (t1, t2)
+    t = tmp.reshape(tmp.shape[0], tmp.shape[1], hnc + 2, hnc + 2)
+    c = t[:, :, 1:hnc + 1, 1:hnc + 1]
+    g1 = 0.125 * (t[:, :, 2:hnc + 2, 1:hnc + 1] - t[:, :, 0:hnc, 1:hnc + 1])
+    g2 = 0.125 * (t[:, :, 1:hnc + 1, 2:hnc + 2] - t[:, :, 1:hnc + 1, 0:hnc])
+    # fine (2i-1, 2j-1), (2i, 2j-1), (2i-1, 2j), (2i, 2j)
+    gc = xp.stack([
+        xp.stack([c - g1 - g2, c - g1 + g2], axis=-1),
+        xp.stack([c + g1 - g2, c + g1 + g2], axis=-1),
+    ], axis=-2)  # [.., hnc, hnc, 2(i), 2(j)]
+    gc = gc.transpose(0, 1, 2, 4, 3, 5).reshape(
+        tmp.shape[0], tmp.shape[1], nc, nc)
+    return gc.reshape(tmp.shape[0], tmp.shape[1], nc * nc)
+
+
+def _fill_corner_group(cc, ivs, plan, is_edge: bool):
+    if len(plan["copy_ids"]):
+        vals = _gat(cc, ivs, plan["copy_nb"], plan["nb_sidx"])
+        cc = _scat(cc, ivs, plan["copy_ids"], plan["pos_sidx"], vals)
+    if len(plan["ext_ids"]):
+        a = _gat(cc, ivs, plan["ext_ids"], plan["ext_a"])
+        b = _gat(cc, ivs, plan["ext_ids"], plan["ext_b"])
+        c = _gat(cc, ivs, plan["ext_ids"], plan["ext_c"])
+        if "ext_d" in plan:  # 3D corner
+            dd = _gat(cc, ivs, plan["ext_ids"], plan["ext_d"])
+            vals = a + b + c - 2.0 * dd
+        else:
+            vals = a + b - c
+        cc = _scat(cc, ivs, plan["ext_ids"], plan["pos_sidx"], vals)
+    return cc
