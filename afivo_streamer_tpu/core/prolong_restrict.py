@@ -172,10 +172,13 @@ def _scat_pr(cc, ivs, ids, sidx, vals, add=False):
 
 def prolong(cc, plan: ProlongRestrictPlan, ivs, method: str,
             limiter: Optional[int] = None, add: bool = False,
-            tree_dr_base=None):
-    """Prolong parent data into child interiors for variables ivs."""
+            ivs_to=None):
+    """Prolong parent data (variables ivs) into child interiors (variables
+    ivs_to, default ivs). With add=True the prolonged values are added
+    (used by the multigrid correction, af_stencil_prolong_box)."""
     ndim = plan.ndim
     ivs = np.asarray(ivs, np.int32)
+    ivs_to = ivs if ivs_to is None else np.asarray(ivs_to, np.int32)
     if limiter is None:
         limiter = default_prolong_limiter(ndim)
     for tb, par, ch, cyl_w in plan.groups:
@@ -215,7 +218,7 @@ def prolong(cc, plan: ProlongRestrictPlan, ivs, method: str,
                 fine = fine + sgn[None, None, :, d] * fd
         else:
             raise ValueError(f"unknown prolongation method {method}")
-        cc = _scat_pr(cc, ivs, ch, tb.fine_sidx, fine, add=add)
+        cc = _scat_pr(cc, ivs_to, ch, tb.fine_sidx, fine, add=add)
     return cc
 
 

@@ -1,0 +1,438 @@
+"""Geometric multigrid (FAS-FMG / FAS V-cycle) over the AMR box batch.
+
+Re-designs the reference's ``afivo/src/m_af_multigrid.f90``: the same cycle
+structure — downward red-black GSRB smoothing with ghost-cell exchange after
+every half sweep (gsrb_boxes ``:648-687``), FAS coarse-grid construction
+(update_coarse ``:691-738``: rhs_c = L(phi_c) + restrict(residual)), a
+coarse-grid solve at level 1, and upward corrections
+(correct_children ``:624-646``: phi += prolong(phi_c - phi_old_c)) — but
+each level pass is one batched XLA/NumPy op over all boxes of the level
+(blocks of shape [n, (nc+2)^ndim]), not an OpenMP loop.
+
+The red-black update colors cells by (i+j+k) parity matching
+stencil_gsrb_357 (``m_af_stencil.f90:820-980``), including the cylindrical
+gradient correction via radial flux factors (af_cyl_flux_factors,
+``m_af_types.f90:1199-1212``). The level-1 solve replaces the reference's
+HYPRE bridge (``m_coarse_solver.f90``) with an assembled direct solve (the
+reference coarse grids are tiny; see solvers/coarse.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import spatial as sp
+from ..core import ghostcell as gc
+from ..core import prolong_restrict as pr
+from ..core.tree import Tree
+from .coarse import CoarseSolver
+
+
+def _xp(a):
+    return np if isinstance(a, np.ndarray) else jnp
+
+
+def blocks(cc, iv: int, ids, nc: int, ndim: int):
+    """Gather level blocks: [n] + [nc+2]^ndim."""
+    out = cc[iv, np.asarray(ids)]
+    return out.reshape((len(ids),) + (nc + 2,) * ndim)
+
+
+def scatter_interior(cc, iv: int, ids, vals_int, nc: int, ndim: int):
+    """Scatter interior blocks [n]+[nc]^ndim back into cc."""
+    sidx = sp.interior_flat(ndim, nc)
+    flat = vals_int.reshape(len(ids), -1)
+    if isinstance(cc, np.ndarray):
+        cc[iv, np.asarray(ids)[:, None], sidx[None, :]] = flat
+        return cc
+    return cc.at[iv, jnp.asarray(np.asarray(ids))[:, None],
+                 jnp.asarray(sidx)[None, :]].set(flat)
+
+
+def _parity_mask(ndim: int, nc: int, redblack: int) -> np.ndarray:
+    """Cells updated in a half sweep: (i+j+k) % 2 == redblack % 2 with
+    1-based indices (stencil_gsrb_357)."""
+    idx = [np.arange(1, nc + 1)] * ndim
+    mesh = np.meshgrid(*idx, indexing="ij")
+    s = sum(mesh)
+    return (s % 2) == (redblack % 2)
+
+
+def _shift(B, k: int, delta: int, nc: int, ndim: int):
+    """Neighbor values of the interior in dimension k (delta = -1 or +1):
+    returns [n] + [nc]^ndim view of B."""
+    sl = [slice(1, nc + 1)] * ndim
+    sl[k] = slice(1 + delta, nc + 1 + delta)
+    return B[(slice(None),) + tuple(sl)]
+
+
+class LevelOp:
+    """Operator coefficients for one level: center + 2*ndim neighbor
+    coefficients, each broadcastable against [n] + [nc]^ndim blocks.
+
+    Normal box: constant 3/5/7-point Laplacian - helmholtz_lambda
+    (mg_box_lpl_stencil, ``m_af_multigrid.f90:1227-1245``); cylindrical
+    coordinates scale the radial couplings by the flux factors."""
+
+    def __init__(self, tree: Tree, lvl: int, lam: float):
+        ndim, nc = tree.ndim, tree.nc
+        dr = tree.lvl_dr(lvl)
+        inv_dr2 = 1.0 / dr**2
+        ids = tree.lvl_ids[lvl - 1]
+        c_nb = []
+        for d in range(2 * ndim):
+            c_nb.append(inv_dr2[d // 2])
+        c0 = -2.0 * float(np.sum(inv_dr2)) - lam
+        if tree.coord == "cyl":
+            # radial flux factors per box (dim 0 is r)
+            r0 = tree.box_r_min(ids)[:, 0]
+            i = np.arange(1, nc + 1)
+            r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]  # [n, nc]
+            rfac1 = (r_cc - 0.5 * dr[0]) / r_cc
+            rfac2 = (r_cc + 0.5 * dr[0]) / r_cc
+            shape = (len(ids), nc) + (1,) * (ndim - 1)
+            c_lo = (rfac1 * c_nb[0]).reshape(shape)
+            c_hi = (rfac2 * c_nb[1]).reshape(shape)
+            c0 = c0 - (c_lo - c_nb[0]) - (c_hi - c_nb[1])
+            c_nb[0] = c_lo
+            c_nb[1] = c_hi
+        self.c_nb = c_nb
+        self.c0 = c0
+        self.ids = np.asarray(ids)
+        self.per_box = tree.coord == "cyl"
+
+    def _select(self, ids):
+        """Restrict per-box coefficient arrays to a subset of the level's
+        boxes (needed when applying the operator to parents only)."""
+        if not self.per_box:
+            return self.c0, self.c_nb
+        pos = np.searchsorted(self.ids, np.asarray(ids))
+        return self.c0[pos], [self.c_nb[0][pos], self.c_nb[1][pos]] + \
+            self.c_nb[2:]
+
+    def apply(self, B, nc: int, ndim: int, ids=None):
+        """L(phi) on the interior: [n] + [nc]^ndim."""
+        c0, c_nb = (self.c0, self.c_nb) if ids is None else self._select(ids)
+        out = c0 * B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        for d in range(2 * ndim):
+            delta = -1 if d % 2 == 0 else 1
+            out = out + c_nb[d] * _shift(B, d // 2, delta, nc, ndim)
+        return out
+
+    def gsrb(self, B, R_int, redblack: int, nc: int, ndim: int):
+        """One half red-black sweep; returns updated interior."""
+        xp = _xp(B) if not isinstance(B, np.ndarray) else np
+        offdiag = 0.0
+        for d in range(2 * ndim):
+            delta = -1 if d % 2 == 0 else 1
+            offdiag = offdiag + self.c_nb[d] * _shift(B, d // 2, delta, nc, ndim)
+        new = (R_int - offdiag) / self.c0
+        mask = _parity_mask(ndim, nc, redblack)
+        old = B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        return xp.where(mask[None], new, old)
+
+
+class Multigrid:
+    """FAS multigrid solver bound to a (tree, variable set, BC spec)."""
+
+    def __init__(self, tree: Tree, i_phi: int, i_rhs: int, i_tmp: int,
+                 sides_bc: Callable, helmholtz_lambda: float = 0.0,
+                 n_cycle_down: int = 2, n_cycle_up: int = 2,
+                 subtract_mean: bool = False):
+        self.tree = tree
+        self.i_phi, self.i_rhs, self.i_tmp = i_phi, i_rhs, i_tmp
+        self.sides_bc = sides_bc
+        self.lam = helmholtz_lambda
+        self.n_cycle_down = n_cycle_down
+        self.n_cycle_up = n_cycle_up
+        self.subtract_mean = subtract_mean
+        self._ops: Dict = {}
+        self._coarse: Optional[CoarseSolver] = None
+        self._coarse_epoch = -1
+
+    # ----------------------------------------------------------- plumbing
+    def _op(self, lvl: int) -> LevelOp:
+        key = (self.tree.epoch, lvl)
+        if key not in self._ops:
+            self._ops = {k: v for k, v in self._ops.items()
+                         if k[0] == self.tree.epoch}
+            self._ops[key] = LevelOp(self.tree, lvl, self.lam)
+        return self._ops[key]
+
+    def coarse_solver(self) -> CoarseSolver:
+        # level 1 never changes, so build once
+        if self._coarse is None:
+            self._coarse = CoarseSolver(self.tree, self.sides_bc, self.lam)
+        return self._coarse
+
+    def _gc_lvl(self, cc, lvl: int, params, corners: bool = True):
+        plan = gc.get_gc_plan(self.tree, lvl)
+        return gc.fill_ghosts_lvl(cc, plan, [self.i_phi], gc.RB_MG,
+                                  self.sides_bc, params, corners=corners)
+
+    def fill_ghosts_phi(self, cc, params):
+        for lvl in range(1, self.tree.highest_lvl + 1):
+            cc = self._gc_lvl(cc, lvl, params)
+        return cc
+
+    # ------------------------------------------------------------- pieces
+    def _gsrb_boxes(self, cc, lvl: int, n_cycle: int, params,
+                    up_cycle: bool):
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        ids = t.lvl_ids[lvl - 1]
+        op = self._op(lvl)
+        R = blocks(cc, self.i_rhs, ids, nc, ndim)
+        R_int = R[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        for n in range(1, 2 * n_cycle + 1):
+            B = blocks(cc, self.i_phi, ids, nc, ndim)
+            new_int = op.gsrb(B, R_int, n, nc, ndim)
+            cc = scatter_interior(cc, self.i_phi, ids, new_int, nc, ndim)
+            # ghost exchange after each half sweep (gsrb_boxes :666-685);
+            # corners only stored on the final upward half sweep
+            use_corners = up_cycle and (n == 2 * n_cycle)
+            cc = self._gc_lvl(cc, lvl, params, corners=use_corners)
+        return cc
+
+    def _residual_blocks(self, cc, lvl: int, ids):
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        op = self._op(lvl)
+        B = blocks(cc, self.i_phi, ids, nc, ndim)
+        R = blocks(cc, self.i_rhs, ids, nc, ndim)
+        R_int = R[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        return R_int - op.apply(B, nc, ndim, ids=ids)
+
+    def set_residual_tmp(self, cc, max_lvl: Optional[int] = None):
+        """Store rhs - L(phi) in i_tmp on all levels (residual_box)."""
+        t = self.tree
+        max_lvl = max_lvl or t.highest_lvl
+        for lvl in range(1, max_lvl + 1):
+            ids = t.lvl_ids[lvl - 1]
+            res = self._residual_blocks(cc, lvl, ids)
+            cc = scatter_interior(cc, self.i_tmp, ids, res, t.nc, t.ndim)
+        return cc
+
+    def max_abs_residual(self, cc, max_lvl: Optional[int] = None):
+        t = self.tree
+        max_lvl = max_lvl or t.highest_lvl
+        xp = np if isinstance(cc, np.ndarray) else jnp
+        m = 0.0
+        for lvl in range(1, max_lvl + 1):
+            res = self._residual_blocks(cc, lvl, t.lvl_ids[lvl - 1])
+            m = xp.maximum(m, xp.max(xp.abs(res)))
+        return m
+
+    def _update_coarse(self, cc, lvl: int, params):
+        """FAS coarse-grid setup (update_coarse, ``:691-738``)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        ids = t.lvl_ids[lvl - 1]
+        # residual of all boxes at lvl -> restrict into parents' i_tmp
+        res = self._residual_blocks(cc, lvl, ids)
+        # write residual into a scratch: use i_tmp of the *fine* boxes
+        # transiently (restored implicitly since we recompute later)
+        plan = pr.get_full_plan(t, lvl)
+        # stage: put residual into tmp on fine level, restrict tmp & phi
+        saved_tmp = cc[self.i_tmp, np.asarray(ids)].copy() \
+            if isinstance(cc, np.ndarray) else cc[self.i_tmp, np.asarray(ids)]
+        cc = scatter_interior(cc, self.i_tmp, ids, res, nc, ndim)
+        cc = pr.restrict(cc, plan, [self.i_tmp], use_geometry=True)
+        cc = pr.restrict(cc, plan, [self.i_phi], use_geometry=False)
+        # restore fine tmp (it holds phi_old for the correction step)
+        if isinstance(cc, np.ndarray):
+            cc[self.i_tmp, np.asarray(ids)] = saved_tmp
+        else:
+            cc = cc.at[self.i_tmp, jnp.asarray(np.asarray(ids))].set(saved_tmp)
+        # ghost cells for the restricted phi
+        cc = self._gc_lvl(cc, lvl - 1, params)
+        # parents at lvl-1: rhs = L(phi) + restricted residual; tmp = phi
+        parents = t.lvl_parents[lvl - 2]
+        if len(parents):
+            op = self._op(lvl - 1)
+            B = blocks(cc, self.i_phi, parents, nc, ndim)
+            T = blocks(cc, self.i_tmp, parents, nc, ndim)
+            T_int = T[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+            rhs_new = op.apply(B, nc, ndim, ids=parents) + T_int
+            cc = scatter_interior(cc, self.i_rhs, parents, rhs_new, nc, ndim)
+            # store phi (incl. ghosts) in tmp
+            if isinstance(cc, np.ndarray):
+                cc[self.i_tmp, np.asarray(parents)] = cc[self.i_phi,
+                                                         np.asarray(parents)]
+            else:
+                pidx = jnp.asarray(np.asarray(parents))
+                cc = cc.at[self.i_tmp, pidx].set(cc[self.i_phi, pidx])
+        return cc
+
+    def _set_coarse_phi_rhs(self, cc, lvl: int, params):
+        """FMG with guess: like update_coarse but without saving phi_old
+        (set_coarse_phi_rhs, ``:741-777``)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        ids = t.lvl_ids[lvl - 1]
+        if lvl == t.highest_lvl:
+            cc = self._gc_lvl(cc, lvl, params)
+        res = self._residual_blocks(cc, lvl, ids)
+        plan = pr.get_full_plan(t, lvl)
+        cc = scatter_interior(cc, self.i_tmp, ids, res, nc, ndim)
+        cc = pr.restrict(cc, plan, [self.i_tmp], use_geometry=True)
+        cc = pr.restrict(cc, plan, [self.i_phi], use_geometry=False)
+        cc = self._gc_lvl(cc, lvl - 1, params)
+        parents = t.lvl_parents[lvl - 2]
+        if len(parents):
+            op = self._op(lvl - 1)
+            B = blocks(cc, self.i_phi, parents, nc, ndim)
+            T = blocks(cc, self.i_tmp, parents, nc, ndim)
+            T_int = T[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+            rhs_new = op.apply(B, nc, ndim, ids=parents) + T_int
+            cc = scatter_interior(cc, self.i_rhs, parents, rhs_new, nc, ndim)
+        return cc
+
+    def _correct_children(self, cc, lvl: int):
+        """phi += prolong(phi_c - phi_old_c) (correct_children, ``:624-646``);
+        linear 2/4/8-point prolongation stencil
+        (mg_box_prolong_linear_stencil, ``:1248-1266``)."""
+        t = self.tree
+        parents = t.lvl_parents[lvl - 2]
+        if len(parents) == 0:
+            return cc
+        # corr = phi - tmp on the whole parent boxes (incl. ghosts)
+        pidx = np.asarray(parents)
+        corr = cc[self.i_phi, pidx] - cc[self.i_tmp, pidx]
+        if isinstance(cc, np.ndarray):
+            cc[self.i_tmp, pidx] = corr
+        else:
+            cc = cc.at[self.i_tmp, jnp.asarray(pidx)].set(corr)
+        # prolong the correction (parents' tmp) additively into the
+        # children's phi; children's tmp (their own phi_old) is untouched
+        plan = pr.get_full_plan(t, lvl)
+        cc = pr.prolong(cc, plan, [self.i_tmp], "linear", add=True,
+                        ivs_to=[self.i_phi])
+        return cc
+
+    def _solve_coarse(self, cc, params):
+        cs = self.coarse_solver()
+        cc = cs.solve(cc, self.i_phi, self.i_rhs, params)
+        return self._gc_lvl(cc, 1, params)
+
+    # -------------------------------------------------------------- cycles
+    def fas_vcycle(self, cc, params=None, set_residual: bool = False,
+                   highest_lvl: Optional[int] = None):
+        """One FAS V-cycle (mg_fas_vcycle, ``:185-264``)."""
+        t = self.tree
+        params = params or {}
+        max_lvl = highest_lvl or t.highest_lvl
+        for lvl in range(max_lvl, 1, -1):
+            cc = self._gsrb_boxes(cc, lvl, self.n_cycle_down, params,
+                                  up_cycle=False)
+            cc = self._update_coarse(cc, lvl, params)
+        cc = self._solve_coarse(cc, params)
+        for lvl in range(2, max_lvl + 1):
+            cc = self._correct_children(cc, lvl)
+            cc = self._gc_lvl(cc, lvl, params)
+            cc = self._gsrb_boxes(cc, lvl, self.n_cycle_up, params,
+                                  up_cycle=True)
+        if set_residual:
+            cc = self.set_residual_tmp(cc, max_lvl)
+        return cc
+
+    def fas_fmg(self, cc, params=None, set_residual: bool = False,
+                have_guess: bool = True):
+        """FAS full multigrid cycle (mg_fas_fmg, ``:137-180``)."""
+        t = self.tree
+        params = params or {}
+        if have_guess:
+            for lvl in range(t.highest_lvl, 1, -1):
+                cc = self._set_coarse_phi_rhs(cc, lvl, params)
+        else:
+            # init_phi_rhs: phi = 0 everywhere, restrict rhs down
+            allids = np.concatenate([np.asarray(ids) for ids in t.lvl_ids])
+            if isinstance(cc, np.ndarray):
+                cc[self.i_phi, allids] = 0.0
+            else:
+                cc = cc.at[self.i_phi, jnp.asarray(allids)].set(0.0)
+            for lvl in range(t.highest_lvl, 1, -1):
+                plan = pr.get_full_plan(t, lvl)
+                cc = pr.restrict(cc, plan, [self.i_rhs], use_geometry=True)
+        # level 1
+        ids1 = np.asarray(t.lvl_ids[0])
+        if isinstance(cc, np.ndarray):
+            cc[self.i_tmp, ids1] = cc[self.i_phi, ids1]
+        else:
+            cc = cc.at[self.i_tmp, jnp.asarray(ids1)].set(
+                cc[self.i_phi, jnp.asarray(ids1)])
+        cc = self.fas_vcycle(cc, params,
+                             set_residual and t.highest_lvl == 1,
+                             highest_lvl=1)
+        for lvl in range(2, t.highest_lvl + 1):
+            ids = np.asarray(t.lvl_ids[lvl - 1])
+            if isinstance(cc, np.ndarray):
+                cc[self.i_tmp, ids] = cc[self.i_phi, ids]
+            else:
+                cc = cc.at[self.i_tmp, jnp.asarray(ids)].set(
+                    cc[self.i_phi, jnp.asarray(ids)])
+            cc = self._correct_children(cc, lvl)
+            cc = self._gc_lvl(cc, lvl, params)
+            cc = self.fas_vcycle(cc, params,
+                                 set_residual and lvl == t.highest_lvl,
+                                 highest_lvl=lvl)
+        return cc
+
+    # ---------------------------------------------------- field utilities
+    def compute_phi_gradient(self, cc, fc, i_fc: int, fac: float):
+        """fc = fac * grad(phi) on all boxes (mg_compute_phi_gradient /
+        mg_box_lpl_gradient, ``m_af_multigrid.f90:1837-1974``)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        for lvl in range(1, t.highest_lvl + 1):
+            ids = np.asarray(t.lvl_ids[lvl - 1])
+            dr = t.lvl_dr(lvl)
+            B = blocks(cc, self.i_phi, ids, nc, ndim)
+            for d in range(ndim):
+                inv_dr = fac / dr[d]
+                lo = [slice(0, nc + 1) if k == d else slice(1, nc + 1)
+                      for k in range(ndim)]
+                hi = [slice(1, nc + 2) if k == d else slice(1, nc + 1)
+                      for k in range(ndim)]
+                g = inv_dr * (B[(slice(None),) + tuple(hi)]
+                              - B[(slice(None),) + tuple(lo)])
+                # faces 0..nc in dim d, cells 0..nc-1 in other dims
+                axes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
+                        for k in range(ndim)]
+                fidx = sp.fc_flat(ndim, nc, *axes)
+                flat = g.reshape(len(ids), -1)
+                if isinstance(fc, np.ndarray):
+                    fc[i_fc, d, ids[:, None], fidx[None, :]] = flat
+                else:
+                    fc = fc.at[i_fc, d, jnp.asarray(ids)[:, None],
+                               jnp.asarray(fidx)[None, :]].set(flat)
+        return fc
+
+    def compute_field_norm(self, cc, fc, i_fc: int, i_norm: int):
+        """Cell-centered norm of a face field (mg_box_field_norm,
+        ``m_af_multigrid.f90:1995-2025``): average of the two faces."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        for lvl in range(1, t.highest_lvl + 1):
+            ids = np.asarray(t.lvl_ids[lvl - 1])
+            acc = 0.0
+            for d in range(ndim):
+                axes_lo = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
+                           for k in range(ndim)]
+                F = fc[i_fc, d, ids[:, None],
+                       sp.fc_flat(ndim, nc, *axes_lo)[None, :]]
+                F = F.reshape((len(ids),) + tuple(
+                    nc + 1 if k == d else nc for k in range(ndim)))
+                sl_lo = [slice(0, nc) if k == d else slice(None)
+                         for k in range(ndim)]
+                sl_hi = [slice(1, nc + 1) if k == d else slice(None)
+                         for k in range(ndim)]
+                acc = acc + (F[(slice(None),) + tuple(sl_lo)]
+                             + F[(slice(None),) + tuple(sl_hi)]) ** 2
+            xp = np if isinstance(cc, np.ndarray) else jnp
+            norm = 0.5 * xp.sqrt(acc)
+            cc = scatter_interior(cc, i_norm, ids, norm, nc, ndim)
+        return cc
