@@ -1,0 +1,440 @@
+"""Simulation driver: module wiring + adaptive-dt main loop.
+
+Port of the reference's ``src/streamer.f90``: module initialization order
+(initialize_modules ``:429-458``), initial-condition setup with
+refine-to-converged field loop (set_initial_conditions ``:460-519``), and
+the main loop (``:177-415``) with output cadence, step rejection and retry
+(up to 10 attempts), global rate accounting, per-N-step refinement with
+field recomputation, and the computational cost breakdown.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from . import constants as uc
+from .core import ghostcell as gc
+from .core import prolong_restrict as pr
+from .core import reductions as red
+from .core.batch import BoxBatch
+from .core.tree import Tree
+from .io.output import Output
+from .ops.limiters import NAME_TO_LIMITER
+from .physics import advance as adv
+from .physics.chemistry import Chemistry
+from .physics.dt_control import DtConfig
+from .physics.field import FieldSolver
+from .physics.fluid import FluidModel, FluidIndices
+from .physics.gas import Gas
+from .physics.init_cond import InitCond
+from .physics.model import Model
+from .physics.refine import RefineSettings, RefineCriterion
+from .physics.streamer import (Registry, StreamerSettings,
+                               bc_species_neumann_zero,
+                               bc_species_dirichlet_zero)
+from .physics.transport_data import TransportData
+from .utils.config import CFG
+from .utils.table_data import TableDataSettings
+
+MAX_ATTEMPTS_PER_TIME_STEP = 10  # streamer.f90:27
+
+
+class Simulation:
+    def __init__(self, argv: Optional[List[str]] = None,
+                 cfg: Optional[CFG] = None, ndim: Optional[int] = None):
+        if cfg is None:
+            cfg = CFG()
+            if argv:
+                cfg.update_from_arguments(argv)
+        self.cfg = cfg
+        if ndim is None:
+            ndim = cfg.add_get("ndim", 2, "Number of spatial dimensions")
+        self.ndim = ndim
+
+        # ---- module initialization (initialize_modules order)
+        self.model = Model(cfg)
+        self.dt_cfg = DtConfig(cfg)
+        table_settings = TableDataSettings(cfg)
+        self.gas = Gas(cfg)
+        self.td = TransportData(cfg, self.gas, table_settings,
+                                self.model.has_energy_equation)
+        self.chem = Chemistry(self.gas, self.td, self.td.file,
+                              table_settings,
+                              self.model.has_energy_equation, cfg)
+        self.st = StreamerSettings(cfg, ndim)
+        self.refine_cfg = RefineSettings(cfg)
+
+        # ---- variable registration (ST_initialize / chemistry_initialize)
+        reg = Registry()
+        self.registry = reg
+        n_copies = self.dt_cfg.num_steps + 1
+        self.species_cc: List[int] = []
+        ngas = self.chem.n_gas_species
+        for name in self.chem.species_list[ngas:]:
+            self.species_cc.append(reg.add_cc(name, n_copies=n_copies))
+        self.all_densities = list(self.species_cc)
+        self.i_electron = self.species_cc[
+            self.chem.species_list.index("e") - ngas]
+        # first positive ion
+        pos = [i for i, q in enumerate(self.chem.species_charge)
+               if q > 0 and i >= ngas]
+        if not pos:
+            raise ValueError("No positive ion species present")
+        self.i_1pos_ion = self.species_cc[pos[0] - ngas]
+        self.i_phi = reg.add_cc("phi", n_copies=2)
+        self.i_electric_fld = reg.add_cc("electric_fld")
+        self.i_rhs = reg.add_cc("rhs")
+        self.i_tmp = reg.add_cc("tmp", write_out=False)
+
+        # face-centered variables
+        self.fc_flux: List[int] = [reg.add_fc("flux_elec")]
+        self.flux_species = [self.i_electron]
+        self.flux_charge_sign = [-1]
+        for nm in self.td.mobile_ion_names:
+            simple = nm
+            six = self.chem.species_list.index(simple)
+            self.flux_species.append(self.species_cc[six - ngas])
+            self.flux_charge_sign.append(
+                1 if self.chem.species_charge[six] > 0 else -1)
+            self.fc_flux.append(reg.add_fc(f"flux_{simple}"))
+        self.fc_E = reg.add_fc("electric_fld")
+
+        # ---- tree + batch
+        self.tree = Tree(ndim, self.st.box_size, self.st.domain_len,
+                         self.st.coarse_grid_size, periodic=self.st.periodic,
+                         coord=self.st.coord, r_min=self.st.domain_origin)
+        self.batch = BoxBatch(self.tree, reg.n_cc, reg.n_fc)
+        self.cc = np.array(self.batch.cc)  # host (NumPy) state by default
+        self.fc = np.array(self.batch.fc)
+
+        # ---- species BCs and methods
+        if self.st.species_boundary_condition == "neumann_zero":
+            self.bc_species = bc_species_neumann_zero
+        elif self.st.species_boundary_condition == "dirichlet_zero":
+            self.bc_species = lambda iv, d, c, p: bc_species_dirichlet_zero(
+                iv, d, c, p, ndim=ndim)
+        else:
+            raise ValueError("Unknown species_boundary_condition")
+        for iv in self.all_densities:
+            reg.set_cc_methods(iv, self.bc_species, rb=gc.RB_INTERP_LIM,
+                               prolong=self.st.prolong_density)
+
+        # ---- field solver
+        ch_ix, ch_q = self.chem.charged_species
+        charged_cc = [self.species_cc[i - ngas] for i in ch_ix]
+        self.field = FieldSolver(cfg, self.tree, self.st, reg, self.i_phi,
+                                 self.i_rhs, self.i_tmp, self.i_electric_fld,
+                                 self.fc_E, charged_cc, ch_q)
+        reg.set_cc_methods(self.i_phi, self.field.phi_bc, rb=gc.RB_MG,
+                           prolong="linear")
+        reg.set_cc_methods(self.i_electric_fld, bc_species_neumann_zero,
+                           rb=gc.RB_INTERP, prolong="linear")
+
+        # ---- initial conditions, refinement, output
+        self.init_cond = InitCond(cfg, self.st, reg, self.i_electron,
+                                  self.i_1pos_ion)
+        self.refiner = RefineCriterion(self.refine_cfg, self.tree, self.td,
+                                       self.gas, self.init_cond,
+                                       self.i_electric_fld, self.i_electron)
+        self.output = Output(cfg, self.st, reg)
+
+        # ---- fluid model
+        idx = FluidIndices(
+            i_electron=self.i_electron, i_1pos_ion=self.i_1pos_ion,
+            i_electric_fld=self.i_electric_fld, fc_E=self.fc_E,
+            flux_species=self.flux_species, flux_fc=self.fc_flux,
+            flux_charge_sign=np.asarray(self.flux_charge_sign, np.float64),
+            all_densities=self.all_densities, species_cc=self.species_cc)
+        self.fluid = FluidModel(
+            self.tree, idx, self.chem, self.td, self.gas, self.bc_species,
+            self.dt_cfg, self.st,
+            prolong_limiter=pr.default_prolong_limiter(ndim))
+        self.fluid.field_compute = self._field_compute_cb
+
+        # runtime state
+        self.it = 0
+        self.global_time = 0.0
+        self.global_dt = self.dt_cfg.dt_min
+        self.dt_limits = np.full(4, 1e100)
+        self.velocity = 0.0
+        self.prev_emax_pos = None
+        self.prev_emax_time = 0.0
+        self.global_rates = np.zeros(self.chem.n_reactions)
+        self.global_JdotE = 0.0
+        self.global_JdotE_current = 0.0
+        self.global_displ_current = 0.0
+        self.wc = {k: 0.0 for k in ("flux", "source", "copy", "field",
+                                    "output", "refine", "photoi")}
+
+        self.setup_initial_conditions()
+
+    # ------------------------------------------------------------ helpers
+    def _field_compute_cb(self, cc, fc, s_in, time, have_guess, params):
+        return self.field.compute(cc, fc, s_in, time, have_guess, params)
+
+    def gc_tree(self, ivs, rb, bc_fn, params=None):
+        for lvl in range(1, self.tree.highest_lvl + 1):
+            plan = gc.get_gc_plan(self.tree, lvl)
+            self.cc = gc.fill_ghosts_lvl(self.cc, plan, ivs, rb, bc_fn,
+                                         params or {})
+
+    def restrict_and_gc_densities(self):
+        """Restrict + ghost-fill all densities (streamer.f90:383-386)."""
+        self.cc = pr.restrict_tree(self.cc, self.tree,
+                                   np.asarray(self.all_densities))
+        self.gc_tree(np.asarray(self.all_densities), gc.RB_INTERP_LIM,
+                     self.bc_species)
+
+    # ---------------------------------------------------- refinement step
+    def adjust_refinement(self):
+        """af_adjust_refinement + data movement for new/removed boxes."""
+        self.refiner.time = self.global_time
+        info = self.tree.adjust_refinement(
+            lambda ids: self.refiner.cell_flags(self.cc, ids),
+            ref_buffer=self.refine_cfg.buffer_width)
+        if info.n_add == 0 and info.n_rm == 0:
+            return info
+        # grow storage if needed
+        self.batch.cc, self.batch.fc = self.cc, self.fc
+        self.batch.tree = self.tree
+        if isinstance(self.cc, np.ndarray):
+            need = self.tree.highest_id
+            if need > self.cc.shape[1]:
+                grow = max(need, int(1.3 * self.cc.shape[1]))
+                cc = np.zeros((self.cc.shape[0], grow, self.cc.shape[2]))
+                cc[:, :self.cc.shape[1]] = self.cc
+                self.cc = cc
+                fshape = list(self.fc.shape)
+                fshape[2] = grow
+                fcn = np.zeros(fshape)
+                fcn[:, :, :self.fc.shape[2]] = self.fc
+                self.fc = fcn
+        # prolong data into new boxes, per level (auto_prolong)
+        for lvl in sorted(info.added_per_lvl):
+            ids = info.added_per_lvl[lvl]
+            plan = pr.ProlongRestrictPlan(self.tree, ids)
+            for iv in self.registry.auto_vars:
+                m = self.registry.methods[iv]
+                self.cc = pr.prolong(self.cc, plan, [iv], m["prolong"])
+            # ghost cells on this level (new boxes incl. neighbors)
+            gplan = gc.get_gc_plan(self.tree, lvl)
+            params = {"voltage": self.field.current_voltage}
+            for iv in self.registry.auto_vars:
+                m = self.registry.methods[iv]
+                self.cc = gc.fill_ghosts_lvl(self.cc, gplan, [iv], m["rb"],
+                                             m["bc"], params)
+        return info
+
+    # ------------------------------------------------- initial conditions
+    def setup_initial_conditions(self):
+        """set_initial_conditions (streamer.f90:460-519)."""
+        t = self.tree
+        # refine up to refine_max_dx
+        lvl = 1
+        while np.any(t.lvl_dr(lvl) > self.refine_cfg.max_dx) and lvl < 29:
+            lvl += 1
+        t.refine_up_to_lvl(lvl)
+        self._sync_capacity()
+        allids = np.concatenate([np.asarray(i) for i in t.lvl_ids])
+        self.cc = self.init_cond.apply(self.cc, t, allids)
+
+        for n in range(100):
+            self.cc, self.fc = self.field.compute(
+                self.cc, self.fc, 0, 0.0, False)
+            info = self.adjust_refinement()
+            if info.n_add:
+                self._sync_capacity()
+                new = np.asarray(info.added, np.int64)
+                self.cc = self.init_cond.apply(self.cc, self.tree, new)
+            if info.n_add == 0:
+                break
+        self.output_write(0)
+
+    def _sync_capacity(self):
+        need = self.tree.highest_id
+        if need > self.cc.shape[1]:
+            grow = max(need + 64, int(1.3 * self.cc.shape[1]))
+            cc = np.zeros((self.cc.shape[0], grow, self.cc.shape[2]))
+            cc[:, :self.cc.shape[1]] = self.cc
+            self.cc = cc
+            fshape = list(self.fc.shape)
+            fshape[2] = grow
+            fcn = np.zeros(fshape)
+            fcn[:, :, :self.fc.shape[2]] = self.fc
+            self.fc = fcn
+
+    # ----------------------------------------------------------- output
+    def output_write(self, out_cnt: int, wc_time: float = 0.0):
+        if self.output.regression_test:
+            self.output.regression_log(self, out_cnt)
+        if self.output.write_log and out_cnt > 0:
+            # streamer velocity from max-E displacement
+            emax, pos = red.tree_max_cc(self.cc, self.tree,
+                                        self.i_electric_fld)
+            if self.prev_emax_pos is not None and \
+                    self.global_time > self.prev_emax_time:
+                self.velocity = float(
+                    np.linalg.norm(pos - self.prev_emax_pos)
+                    / (self.global_time - self.prev_emax_time))
+            self.prev_emax_pos = pos
+            self.prev_emax_time = self.global_time
+            self.output.log(self, out_cnt, wc_time)
+        if self.output.write_npz:
+            self.output.write_npz(self, out_cnt)
+
+    # -------------------------------------------------------- main loop
+    def _substep(self, cc, fc, dt, dt_lim, time, s_deriv, s_prev, w_prev,
+                 s_out, i_step, n_steps, params):
+        self.cc, self.fc = cc, fc
+        cc, fc, dt_lim_new, diag = self.fluid.forward_euler(
+            cc, fc, dt, dt_lim, time, s_deriv, s_prev, w_prev, s_out,
+            i_step, n_steps, params)
+        self._last_diag = diag
+        return cc, fc, dt_lim_new, diag
+
+    def run(self, end_time: Optional[float] = None,
+            max_steps: Optional[int] = None):
+        """The main time loop (streamer.f90:177-415)."""
+        st = self.st
+        end_time = end_time if end_time is not None else st.end_time
+        n_states = self.dt_cfg.num_steps
+        dt = self.global_dt
+        time = self.global_time
+        out_cnt = 0
+        time_last_output = time
+        t_start = _time.time()
+        time_last_print = -1e10
+        field_energy_prev = self.field.compute_energy(self.cc, self.fc)
+        field_energy_prev_time = time
+        fraction_steps_rejected = 0.0
+        n_steps_rejected = 0
+
+        while True:
+            self.it += 1
+            if time >= end_time:
+                break
+            if max_steps is not None and self.it > max_steps:
+                break
+            wc_time = _time.time() - t_start
+            if wc_time - time_last_print > self.output.status_delay:
+                self.output.status(self, wc_time)
+                time_last_print = wc_time
+
+            current_output_dt = self.output.dt
+            if abs(self.field.current_voltage) == 0.0 and \
+                    self.field.set_voltage(time) == 0.0 and \
+                    self.output.dt_factor_pulse_off != 1:
+                current_output_dt = (self.output.dt
+                                     * self.output.dt_factor_pulse_off)
+
+            write_out = (time + dt >= time_last_output + current_output_dt)
+            if write_out:
+                dt = max(0.0, time_last_output + current_output_dt - time)
+
+            # --- attempt loop with state copy/rejection (streamer.f90:251-288)
+            dt_lim = uc.huge_real
+            step_accepted = False
+            params = {"voltage": self.field.current_voltage}
+            for attempt in range(MAX_ATTEMPTS_PER_TIME_STEP):
+                t1 = _time.time()
+                self._copy_state(n_states)
+                self.wc["copy"] += _time.time() - t1
+                cc, fc, dt_lim_step, time_new, diag = adv.advance(
+                    self.cc, self.fc, dt, time, self.dt_cfg.integrator,
+                    self._substep, params)
+                self.cc, self.fc = cc, fc
+                dt_lim_step = float(dt_lim_step)
+                dt_lim = min(dt_lim, dt_lim_step)
+                if dt <= dt_lim_step:
+                    step_accepted = True
+                    time = time_new
+                    break
+                n_steps_rejected += 1
+                print(f"{self.it} Step rejected (#{n_steps_rejected}) "
+                      f"(dt, dt_lim) = {dt:.4E} {dt_lim:.4E}")
+                dt = self.dt_cfg.safety_factor * dt_lim_step
+                time = self.global_time
+                write_out = False
+                self._restore_state(n_states, params)
+            fraction_steps_rejected = 0.99 * fraction_steps_rejected
+            if attempt > 0:
+                fraction_steps_rejected += 0.01
+            if not step_accepted:
+                raise RuntimeError("All time steps were rejected")
+
+            # global rate accounting
+            diag = self._last_diag
+            if self.chem.n_reactions and np.ndim(diag.get("rates", 0)):
+                self.global_rates = (self.global_rates
+                                     + np.asarray(diag["rates"]) * dt)
+            self.global_JdotE += float(diag.get("JdotE", 0.0)) * dt
+
+            # electric current (Sato) every N steps (streamer.f90:296-317)
+            if self.it % st.current_update_per_steps == 0:
+                fe = self.field.compute_energy(self.cc, self.fc)
+                d_fe = ((fe - field_energy_prev)
+                        / max(time - field_energy_prev_time, 1e-300))
+                field_energy_prev, field_energy_prev_time = fe, time
+                if abs(self.field.current_voltage) > 0:
+                    self.global_JdotE_current = (
+                        float(diag.get("JdotE", 0.0))
+                        / self.field.current_voltage)
+                    self.global_displ_current = (
+                        d_fe / self.field.current_voltage)
+
+            # field for the latest state
+            t1 = _time.time()
+            self.cc, self.fc = self.field.compute(self.cc, self.fc, 0, time,
+                                                  True)
+            self.wc["field"] += _time.time() - t1
+
+            # new time step (streamer.f90:338-343)
+            tmp = self.dt_cfg.max_growth_factor
+            if fraction_steps_rejected > 0.1:
+                tmp = 1.0
+            dt = min(tmp * self.global_dt,
+                     self.dt_cfg.safety_factor * dt_lim)
+            self.global_dt = dt
+            self.global_time = time
+            self.dt_limits = np.array([dt_lim, 0.0, 0.0, 0.0])
+
+            if self.global_dt < self.dt_cfg.dt_min:
+                self.output.status(self, _time.time() - t_start)
+                raise RuntimeError(f"dt too small: {self.global_dt}")
+
+            t1 = _time.time()
+            if write_out:
+                out_cnt += 1
+                time_last_output = self.global_time
+                self.output_write(out_cnt, _time.time() - t_start)
+            self.wc["output"] += _time.time() - t1
+
+            # refinement every refine_per_steps (streamer.f90:380-411)
+            t1 = _time.time()
+            if self.it % self.refine_cfg.per_steps == 0:
+                self.restrict_and_gc_densities()
+                info = self.adjust_refinement()
+                if info.n_add > 0 or info.n_rm > 0:
+                    self.cc, self.fc = self.field.compute(
+                        self.cc, self.fc, 0, time, True)
+            self.wc["refine"] += _time.time() - t1
+
+        self.output.status(self, _time.time() - t_start)
+        return out_cnt
+
+    def _copy_state(self, n_states: int):
+        """copy_current_state (streamer.f90:571-583)."""
+        for iv in self.all_densities:
+            self.cc[iv + n_states] = self.cc[iv]
+        self.cc[self.i_phi + 1] = self.cc[self.i_phi]
+
+    def _restore_state(self, n_states: int, params):
+        """restore_previous_state (streamer.f90:586-599)."""
+        for iv in self.all_densities:
+            self.cc[iv] = self.cc[iv + n_states]
+        self.cc[self.i_phi] = self.cc[self.i_phi + 1]
+        self.cc, self.fc = self.field.from_potential(self.cc, self.fc,
+                                                     params)

@@ -1,0 +1,249 @@
+"""Electric field computation: Poisson solve + gradient.
+
+Re-implements the reference's ``src/m_field.f90``: the space-charge
+right-hand side (field_set_rhs ``:363-401``), voltage control with
+rise/fall/pulse trains and tabulated time series (field_set_voltage
+``:508-543``), the convergence-controlled multigrid solve (field_compute
+``:405-485``: initial FMG loop with stagnation detection, then V-cycles
+against a residual threshold scaled by max|rhs| and a roundoff estimate),
+the field from the potential (field_from_potential ``:488-505``), and the
+built-in boundary conditions (homogeneous / neumann / all_neumann,
+``:547-608``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as uc
+from ..core import spatial as sp
+from ..core import ghostcell as gc
+from ..solvers.multigrid import Multigrid, blocks, scatter_interior
+from ..utils.lookup_table import lin_interp_list
+from ..utils.table_data import table_from_file
+
+
+def _xp(a):
+    return np if isinstance(a, np.ndarray) else jnp
+
+
+class FieldSolver:
+    SCALAR_VOLTAGE = 1
+    TABULATED_VOLTAGE = 2
+
+    def __init__(self, cfg, tree, settings, registry, i_phi, i_rhs, i_tmp,
+                 i_electric_fld, fc_E, charged_species_cc, charged_sign):
+        self.tree = tree
+        self.st = settings
+        self.i_phi, self.i_rhs, self.i_tmp = i_phi, i_rhs, i_tmp
+        self.i_electric_fld = i_electric_fld
+        self.fc_E = fc_E
+        self.charged_species_cc = list(charged_species_cc)
+        self.charged_sign = np.asarray(charged_sign, np.float64)
+        self.registry = registry
+        ndim = tree.ndim
+
+        # ------------------------------------------------ voltage control
+        self.field_rise_time = cfg.add_get(
+            "field_rise_time", 0.0, "Linear rise time of field (s)")
+        self.field_pulse_width = cfg.add_get(
+            "field_pulse_width", uc.huge_real,
+            "Pulse width excluding rise and fall time (s)")
+        self.field_num_pulses = cfg.add_get(
+            "field_num_pulses", 1, "Number of voltage pulses (default: 1)")
+        self.field_pulse_period = cfg.add_get(
+            "field_pulse_period", uc.huge_real,
+            "Time of one complete voltage pulse (s)")
+        field_amplitude = cfg.add_get(
+            "field_amplitude", uc.undefined_real,
+            "The (initial) vertical applied electric field (V/m)")
+        given_by = cfg.add_get("field_given_by", "undefined",
+                               "How the electric field or voltage is specified")
+        domain_len = settings.domain_len[ndim - 1]
+        self.field_table = None
+        if given_by != "undefined":
+            kind, _, value = given_by.partition(" ")
+            value = value.strip()
+            if kind == "voltage":
+                self.given_by = self.SCALAR_VOLTAGE
+                self.field_voltage = float(value)
+            elif kind == "field":
+                self.given_by = self.SCALAR_VOLTAGE
+                self.field_voltage = -domain_len * float(value)
+            elif kind == "voltage_table":
+                self.given_by = self.TABULATED_VOLTAGE
+                tt, tv = table_from_file(value, "voltage_vs_time")
+                self.field_table = (tt, tv)
+            elif kind == "field_table":
+                self.given_by = self.TABULATED_VOLTAGE
+                tt, tv = table_from_file(value, "field_vs_time")
+                self.field_table = (tt, -domain_len * tv)
+            else:
+                raise ValueError(f"Unknown field_given_by value: {given_by}")
+        elif field_amplitude > uc.undefined_real:
+            self.given_by = self.SCALAR_VOLTAGE
+            self.field_voltage = -domain_len * field_amplitude
+        else:
+            raise ValueError("field_amplitude not specified")
+
+        self.bc_type = cfg.add_get("field_bc_type", "homogeneous",
+                                   "Boundary condition for electric potential")
+        self.current_voltage = 0.0
+        self.user_potential_bc = None
+
+        # multigrid for phi
+        self.mg = Multigrid(tree, i_phi, i_rhs, i_tmp, self.phi_bc)
+
+    # ------------------------------------------------- boundary conditions
+    def phi_bc(self, iv, d, coords, params):
+        """Potential BC (field_bc_homogeneous / _neumann / _all_neumann)."""
+        ndim = self.tree.ndim
+        voltage = params.get("voltage", 0.0)
+        if self.user_potential_bc is not None:
+            return self.user_potential_bc(iv, d, coords, params)
+        if self.bc_type == "homogeneous":
+            if d // 2 == ndim - 1:
+                if d % 2 == 0:
+                    return gc.BC_DIRICHLET, 0.0
+                return gc.BC_DIRICHLET, voltage
+            return gc.BC_NEUMANN, 0.0
+        if self.bc_type == "neumann":
+            if d // 2 == ndim - 1:
+                if d % 2 == 0:
+                    return gc.BC_DIRICHLET, 0.0
+                return gc.BC_NEUMANN, voltage / self.st.domain_len[ndim - 1]
+            return gc.BC_NEUMANN, 0.0
+        if self.bc_type == "all_neumann":
+            return gc.BC_NEUMANN, 0.0
+        raise ValueError(f"invalid field_bc_type {self.bc_type}")
+
+    # -------------------------------------------------------- voltage
+    def set_voltage(self, time: float) -> float:
+        """Set current_voltage (field_set_voltage, ``m_field.f90:508-543``)."""
+        if self.given_by == self.TABULATED_VOLTAGE:
+            tt, tv = self.field_table
+            self.current_voltage = float(lin_interp_list(tt, tv, time))
+            return self.current_voltage
+        v = 0.0
+        if time < self.field_pulse_period * self.field_num_pulses:
+            t = np.mod(time, self.field_pulse_period)
+            if t < self.field_rise_time:
+                v = self.field_voltage * (t / self.field_rise_time)
+            elif t < self.field_pulse_width + self.field_rise_time:
+                v = self.field_voltage
+            else:
+                tmp = t - (self.field_pulse_width + self.field_rise_time)
+                v = self.field_voltage * max(
+                    0.0, 1.0 - tmp / self.field_rise_time)
+        self.current_voltage = float(v)
+        return self.current_voltage
+
+    # ------------------------------------------------------------- rhs
+    def set_rhs(self, cc, s_in: int):
+        """rhs = -sum(q_s n_s) e / eps0 (field_set_rhs)."""
+        t = self.tree
+        xp = _xp(cc)
+        fac = -uc.elem_charge / uc.eps0
+        allids = np.concatenate([np.asarray(ids) for ids in t.lvl_ids])
+        acc = 0.0
+        for s_cc, q in zip(self.charged_species_cc, self.charged_sign):
+            acc = acc + (q * fac) * cc[s_cc + s_in, allids]
+        if isinstance(cc, np.ndarray):
+            cc[self.i_rhs, allids] = acc
+        else:
+            cc = cc.at[self.i_rhs, jnp.asarray(allids)].set(acc)
+        return cc
+
+    # ------------------------------------------------------------ solve
+    def compute(self, cc, fc, s_in: int, time: float, have_guess: bool,
+                params: Optional[dict] = None):
+        """field_compute (``m_field.f90:405-485``)."""
+        t = self.tree
+        xp = _xp(cc)
+        cc = self.set_rhs(cc, s_in)
+        self.set_voltage(time)
+        params = dict(params or {})
+        params["voltage"] = self.current_voltage
+
+        leaves = np.concatenate([np.asarray(l) for l in t.lvl_leaves])
+        interior = sp.interior_flat(t.ndim, t.nc)
+        max_rhs = float(np.max(np.abs(np.asarray(
+            cc[self.i_rhs, leaves[:, None], interior[None, :]]))))
+        conv_fac = 1e-8 if self.st.use_electrode else 1e-10
+        min_dr = float(t.lvl_dr(t.highest_lvl).min())
+        residual_threshold = max(
+            1e-6,
+            max_rhs * self.st.multigrid_max_rel_residual,
+            conv_fac * abs(self.current_voltage)
+            / (self.st.domain_len[t.ndim - 1] * min_dr))
+
+        if not have_guess:
+            residuals = []
+            for it in range(100):
+                # the reference always passes have_guess=.true. here
+                # (field_compute, m_field.f90:448-450)
+                cc = self.mg.fas_fmg(cc, params, set_residual=True,
+                                     have_guess=True)
+                res = float(self.mg.max_abs_residual(cc))
+                residuals.append(res)
+                if res < residual_threshold:
+                    break
+                if it >= 2:
+                    lo = min(residuals[-3:])
+                    hi = max(residuals[-3:])
+                    ratio = lo / hi if hi > 0 else 0.0
+                    if 0.5 < ratio < 2.0 and res < 1e8:
+                        break
+            else:
+                raise RuntimeError(
+                    f"No convergence in initial field computation: "
+                    f"{residuals}")
+
+        for _ in range(self.st.multigrid_num_vcycles):
+            cc = self.mg.fas_vcycle(cc, params, set_residual=True)
+            res = float(self.mg.max_abs_residual(cc))
+            if res < residual_threshold:
+                break
+
+        cc, fc = self.from_potential(cc, fc, params)
+        return cc, fc
+
+    def from_potential(self, cc, fc, params):
+        """E = -grad phi; cell norm; ghost fill of the norm
+        (field_from_potential)."""
+        fc = self.mg.compute_phi_gradient(cc, fc, self.fc_E, -1.0)
+        cc = self.mg.compute_field_norm(cc, fc, self.fc_E,
+                                        self.i_electric_fld)
+        # gc for the norm: neumann-zero bc + unlimited interpolation rb
+        for lvl in range(1, self.tree.highest_lvl + 1):
+            plan = gc.get_gc_plan(self.tree, lvl)
+            cc = gc.fill_ghosts_lvl(
+                cc, plan, [self.i_electric_fld], gc.RB_INTERP,
+                lambda iv, d, coords, p: (gc.BC_NEUMANN, 0.0), params)
+        return cc, fc
+
+    def compute_energy(self, cc, fc) -> float:
+        """Total field energy 0.5 eps0 E^2 dV (field_compute_energy)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        total = 0.0
+        interior = sp.interior_flat(ndim, nc)
+        for lvl in range(1, t.highest_lvl + 1):
+            leaves = np.asarray(t.lvl_leaves[lvl - 1])
+            if len(leaves) == 0:
+                continue
+            dr = t.lvl_dr(lvl)
+            Ecc = cc[self.i_electric_fld, leaves[:, None], interior[None, :]]
+            if t.coord == "cyl":
+                r0 = t.box_r_min(leaves)[:, 0]
+                i = np.arange(1, nc + 1)
+                r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
+                vol = (2.0 * np.pi * r_cc * np.prod(dr))
+                vol = np.repeat(vol[:, :, None], nc, 2).reshape(len(leaves), -1)
+            else:
+                vol = float(np.prod(dr))
+            total = total + float(np.sum(np.asarray(Ecc) ** 2 * vol))
+        return 0.5 * uc.eps0 * total

@@ -1,0 +1,824 @@
+"""Drift-diffusion-reaction fluid model: the hot path.
+
+Re-designs the reference's ``src/m_fluid.f90`` (forward_euler ``:21-99``,
+flux_upwind ``:102-209``, add_source_terms ``:298-466``) plus the flux
+engine of ``afivo/src/m_af_flux_schemes.f90`` (flux_upwind_tree/box
+``:666-848``, reconstruct_upwind_1d ``:282-303``, flux_update_densities
+``:320-436``) and the 2-ghost assembly ``m_af_ghostcell.f90:672-856``
+(af_gc2_box + gc2_prolong_rb) and fine-to-coarse flux matching
+``m_af_core.f90:1257-1404`` (af_consistent_fluxes).
+
+Instead of per-box line loops, every level pass operates on an extended
+array ``E[n_leaves, n_species, (nc+4)^ndim]`` with two ghost layers; the
+Koren-limited upwind reconstruction, transport-coefficient lookups, flux
+evaluation, CFL/dielectric-relaxation time step terms, chemistry source
+terms and the conservative update are batched elementwise ops that XLA
+fuses into a few kernels per level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as uc
+from ..core import spatial as sp
+from ..core import ghostcell as gc
+from ..core import prolong_restrict as pr
+from ..core.tree import Tree, NO_BOX, neighb_dim, neighb_low
+from ..ops.limiters import limiter_apply, LIMITER_KOREN
+from .transport_data import TD_MOBILITY, TD_DIFFUSION
+
+
+def _xp(a):
+    return np if isinstance(a, np.ndarray) else jnp
+
+
+# --------------------------------------------------------------------------
+# 2-ghost extended-array plan (af_gc2_box)
+# --------------------------------------------------------------------------
+class Gc2LevelPlan:
+    """Index tables to assemble [n_leaves, nv, (nc+4)^ndim] extended arrays
+    for the leaves of one level. Reference coordinates -1..nc+2 map to
+    extended indices 0..nc+3 (shift +1)."""
+
+    def __init__(self, tree: Tree, lvl: int):
+        ndim, nc = tree.ndim, tree.nc
+        self.ndim, self.nc, self.lvl = ndim, nc, lvl
+        hnc = nc // 2
+        leaves = tree.lvl_leaves[lvl - 1]
+        self.leaves = np.asarray(leaves, np.int32)
+        self.leaf_pos = {int(b): i for i, b in enumerate(leaves)}
+        self.dr = tree.lvl_dr(lvl)
+
+        # center copy: cc (nc+2)^d -> ext at 1..nc+2 per dim
+        self.center_ext = sp.ext_flat(ndim, nc, *[np.arange(1, nc + 3)] * ndim)
+        self.cc_all = sp.all_flat(ndim, nc)
+
+        self.dirs = []
+        for d in range(2 * ndim):
+            dim, low = neighb_dim(d), neighb_low(d)
+            info: Dict = {"dim": dim, "low": low}
+
+            def axes_ext(face_vals):
+                return [face_vals if k == dim else np.arange(2, nc + 2)
+                        for k in range(ndim)]
+
+            # extended-array target slabs (transverse: interior ref 1..nc)
+            l12 = np.array([0, 1]) if low else np.array([nc + 2, nc + 3])
+            info["slab_ext"] = sp.ext_flat(ndim, nc, *axes_ext(l12))
+            # neighbor source cells (cc coords): low: nc-1..nc ; high: 1..2
+            nbv = np.array([nc - 1, nc]) if low else np.array([1, 2])
+            info["nb_cc"] = sp.cc_flat(ndim, nc, *[
+                nbv if k == dim else np.arange(1, nc + 1) for k in range(ndim)])
+            # first/second interior layers (for BC)
+            f1 = 1 if low else nc
+            f2 = 2 if low else nc - 1
+            info["f1_cc"] = sp.cc_flat(ndim, nc, *[
+                np.array([f1]) if k == dim else np.arange(1, nc + 1)
+                for k in range(ndim)])
+            info["f2_cc"] = sp.cc_flat(ndim, nc, *[
+                np.array([f2]) if k == dim else np.arange(1, nc + 1)
+                for k in range(ndim)])
+            info["l1_ext"] = sp.ext_flat(ndim, nc, *axes_ext(
+                np.array([1] if low else [nc + 2])))
+            info["l2_ext"] = sp.ext_flat(ndim, nc, *axes_ext(
+                np.array([0] if low else [nc + 3])))
+            # ghost layer of the 1-ghost cc array (for write-back)
+            info["gc_cc"] = sp.cc_flat(ndim, nc, *[
+                np.array([0 if low else nc + 1]) if k == dim
+                else np.arange(1, nc + 1) for k in range(ndim)])
+
+            copy_ids, copy_nb, bc_ids, rb_ids = [], [], [], []
+            for b in leaves:
+                nb = int(tree.neighbors[b, d])
+                if nb >= 0:
+                    copy_ids.append(int(b))
+                    copy_nb.append(nb)
+                elif nb == NO_BOX:
+                    rb_ids.append(int(b))
+                else:
+                    bc_ids.append(int(b))
+            info["copy_pos"] = np.array([self.leaf_pos[b] for b in copy_ids],
+                                        np.int32)
+            info["copy_nb"] = np.asarray(copy_nb, np.int32)
+            info["bc_pos"] = np.array([self.leaf_pos[b] for b in bc_ids],
+                                      np.int32)
+            info["bc_ids"] = np.asarray(bc_ids, np.int32)
+            # face coordinates for BC values
+            if bc_ids:
+                coords = []
+                for bid in bc_ids:
+                    r0 = tree.box_r_min(np.asarray([bid]))[0]
+                    dr = self.dr
+                    axes = []
+                    for k in range(ndim):
+                        if k == dim:
+                            axes.append(np.array(
+                                [r0[k] if low else r0[k] + nc * dr[k]]))
+                        else:
+                            axes.append(r0[k] + (np.arange(nc) + 0.5) * dr[k])
+                    mesh = np.meshgrid(*axes, indexing="ij")
+                    coords.append(np.stack([m.ravel() for m in mesh], -1))
+                info["bc_coords"] = np.asarray(coords)
+
+            # refinement boundaries: gc2_prolong_rb gather tables
+            info["rb_pos"] = np.array([self.leaf_pos[b] for b in rb_ids],
+                                      np.int32)
+            if rb_ids:
+                rb_ids_np = np.asarray(rb_ids)
+                parents = tree.parent[rb_ids_np]
+                info["rb_coarse"] = tree.neighbors[parents, d].astype(np.int32)
+                T = hnc ** (ndim - 1)
+                cface = nc if low else 1
+                tdims = [k for k in range(ndim) if k != dim]
+                # coarse cell coordinates per entry: [n_rb, T, ndim]
+                n_rb = len(rb_ids)
+                cc0 = np.zeros((n_rb, T), np.int32)
+                lo_t = [np.zeros((n_rb, T), np.int32) for _ in range(ndim)]
+                hi_t = [np.zeros((n_rb, T), np.int32) for _ in range(ndim)]
+                for n_i, b in enumerate(rb_ids):
+                    off = tree.child_offset(int(b))
+                    if ndim == 1:
+                        base = np.array([[cface]])
+                        coords_c = base.reshape(1, 1)
+                        v = np.zeros((1, 1), np.int64)
+                        v[:, 0] = cface
+                    else:
+                        axes = []
+                        for k in range(ndim):
+                            if k == dim:
+                                axes.append(np.array([cface]))
+                            else:
+                                axes.append(off[k] + np.arange(1, hnc + 1))
+                        mesh = np.meshgrid(*axes, indexing="ij")
+                        v = np.stack([m.ravel() for m in mesh], -1)
+                    cc0[n_i] = sp.cc_flat_nd(ndim, nc, v)
+                    for k in range(ndim):
+                        vl = v.copy(); vl[:, k] -= 1
+                        vh = v.copy(); vh[:, k] += 1
+                        lo_t[k][n_i] = sp.cc_flat_nd(ndim, nc, vl)
+                        hi_t[k][n_i] = sp.cc_flat_nd(ndim, nc, vh)
+                info["rb_c0"] = cc0
+                info["rb_lo"] = lo_t
+                info["rb_hi"] = hi_t
+                # static fine targets in the extended array per sign combo:
+                # (s_face, s_t1[, s_t2]) each in {-1,+1}
+                import itertools as it
+                targets = {}
+                for signs in it.product([-1, 1], repeat=ndim):
+                    # face-dim ext position
+                    if low:
+                        fpos = 0 if signs[0] < 0 else 1
+                    else:
+                        fpos = nc + 2 if signs[0] < 0 else nc + 3
+                    if ndim == 1:
+                        tg = sp.ext_flat(1, nc, np.array([fpos]))
+                    else:
+                        axes = []
+                        ti = 0
+                        for k in range(ndim):
+                            if k == dim:
+                                axes.append(np.array([fpos]))
+                            else:
+                                tcells = np.arange(hnc)
+                                base = 2 + 2 * tcells  # ext coord of fine lo
+                                axes.append(base + (1 if signs[1 + ti] > 0
+                                                    else 0))
+                                ti += 1
+                        mesh = np.meshgrid(*axes, indexing="ij")
+                        v = np.stack([m.ravel() for m in mesh], -1)
+                        tg = sp.cc_flat_nd(ndim, nc, v * 0) * 0  # placeholder
+                        tg = np.ravel_multi_index(
+                            [v[:, k] for k in range(ndim)],
+                            [nc + 4] * ndim).astype(np.int32)
+                    targets[signs] = tg
+                # order sign dims: (face, transverse in dim order)
+                info["rb_targets"] = targets
+                # map sign tuple position k -> actual dim
+                info["rb_sign_dims"] = [dim] + tdims
+            self.dirs.append(info)
+
+
+def get_gc2_plan(tree: Tree, lvl: int) -> Gc2LevelPlan:
+    cache = getattr(tree, "_gc2_plan_cache", None)
+    if cache is None or cache.get("epoch") != tree.epoch:
+        cache = {"epoch": tree.epoch}
+        tree._gc2_plan_cache = cache
+    if lvl not in cache:
+        cache[lvl] = Gc2LevelPlan(tree, lvl)
+    return cache[lvl]
+
+
+def gc2_extend(cc, plan: Gc2LevelPlan, ivs, bc_fn, params,
+               prolong_limiter: int):
+    """Assemble the 2-ghost extended array for the level's leaves and write
+    the first ghost layer back into cc (af_gc2_box semantics).
+
+    Returns (E, cc): E has shape [n_leaves, n_iv, (nc+4)^ndim]."""
+    xp = _xp(cc)
+    ndim, nc = plan.ndim, plan.nc
+    ivs = np.asarray(ivs, np.int32)
+    n_leaves = len(plan.leaves)
+    E = xp.zeros((n_leaves, len(ivs), (nc + 4) ** ndim), dtype=cc.dtype)
+
+    # center
+    center = cc[ivs][:, plan.leaves][:, :, plan.cc_all]  # [nv, n, S]
+    center = xp.transpose(center, (1, 0, 2))
+    if isinstance(E, np.ndarray):
+        E[:, :, plan.center_ext] = center
+    else:
+        E = E.at[:, :, plan.center_ext].set(center)
+
+    for info in plan.dirs:
+        dim, low = info["dim"], info["low"]
+        # same-level neighbors
+        if len(info["copy_pos"]):
+            vals = cc[ivs][:, info["copy_nb"]][:, :, info["nb_cc"]]
+            vals = xp.transpose(vals, (1, 0, 2))
+            if isinstance(E, np.ndarray):
+                E[info["copy_pos"][:, None, None], np.arange(len(ivs))[None, :, None],
+                  info["slab_ext"][None, None, :]] = vals
+            else:
+                E = E.at[jnp.asarray(info["copy_pos"])[:, None, None],
+                         jnp.arange(len(ivs))[None, :, None],
+                         jnp.asarray(info["slab_ext"])[None, None, :]].set(vals)
+        # physical boundaries (bc_to_gc2, m_af_ghostcell.f90:283-378)
+        if len(info["bc_pos"]):
+            x1 = cc[ivs][:, info["bc_ids"]][:, :, info["f1_cc"]]
+            x2 = cc[ivs][:, info["bc_ids"]][:, :, info["f2_cc"]]
+            x1 = xp.transpose(x1, (1, 0, 2))
+            x2 = xp.transpose(x2, (1, 0, 2))
+            l1 = []
+            l2 = []
+            for i, iv in enumerate(ivs):
+                bc_type, b = bc_fn(int(iv), 2 * dim + (0 if low else 1),
+                                   info.get("bc_coords"), params)
+                if bc_type == gc.BC_DIRICHLET:
+                    c0, c1, c2 = 2.0, -1.0, 2.0
+                elif bc_type == gc.BC_NEUMANN:
+                    sgn = -1.0 if low else 1.0
+                    c0 = sgn * plan.dr[dim]
+                    c1, c2 = 1.0, 3.0 * c0
+                elif bc_type == gc.BC_DIRICHLET_COPY:
+                    c0, c1, c2 = 1.0, 0.0, 1.0
+                else:
+                    raise ValueError("unsupported bc for gc2")
+                l1.append(c0 * b + c1 * x1[:, i])
+                l2.append(c2 * b + c1 * x2[:, i])
+            l1 = xp.stack(l1, axis=1)
+            l2 = xp.stack(l2, axis=1)
+            if isinstance(E, np.ndarray):
+                E[info["bc_pos"][:, None, None], np.arange(len(ivs))[None, :, None],
+                  info["l1_ext"][None, None, :]] = l1
+                E[info["bc_pos"][:, None, None], np.arange(len(ivs))[None, :, None],
+                  info["l2_ext"][None, None, :]] = l2
+            else:
+                ai = jnp.arange(len(ivs))[None, :, None]
+                bp = jnp.asarray(info["bc_pos"])[:, None, None]
+                E = E.at[bp, ai, jnp.asarray(info["l1_ext"])[None, None, :]].set(l1)
+                E = E.at[bp, ai, jnp.asarray(info["l2_ext"])[None, None, :]].set(l2)
+        # refinement boundaries (gc2_prolong_rb, m_af_ghostcell.f90:753-856)
+        if len(info["rb_pos"]):
+            coarse = info["rb_coarse"]
+            c0v = cc[ivs][:, coarse[:, None], info["rb_c0"]]  # [nv, n_rb, T]
+            fvals = []
+            for k in range(ndim):
+                lo = cc[ivs][:, coarse[:, None], info["rb_lo"][k]]
+                hi = cc[ivs][:, coarse[:, None], info["rb_hi"][k]]
+                fvals.append(0.25 * limiter_apply(c0v - lo, hi - c0v,
+                                                  prolong_limiter))
+            sdims = info["rb_sign_dims"]
+            for signs, tg in info["rb_targets"].items():
+                vals = c0v
+                for k_pos, s in enumerate(signs):
+                    vals = vals + s * fvals[sdims[k_pos]]
+                vals = xp.transpose(vals, (1, 0, 2))
+                if isinstance(E, np.ndarray):
+                    E[info["rb_pos"][:, None, None],
+                      np.arange(len(ivs))[None, :, None],
+                      tg[None, None, :]] = vals
+                else:
+                    E = E.at[jnp.asarray(info["rb_pos"])[:, None, None],
+                             jnp.arange(len(ivs))[None, :, None],
+                             jnp.asarray(tg)[None, None, :]].set(vals)
+
+    # write the first ghost layer back into cc (af_gc2_box :739-744)
+    for info in plan.dirs:
+        vals = E[:, :, info["l1_ext"]]
+        vals = xp.transpose(vals, (1, 0, 2))
+        if isinstance(cc, np.ndarray):
+            cc[ivs[:, None, None], plan.leaves[None, :, None],
+               info["gc_cc"][None, None, :]] = vals
+        else:
+            cc = cc.at[jnp.asarray(ivs)[:, None, None],
+                       jnp.asarray(plan.leaves)[None, :, None],
+                       jnp.asarray(info["gc_cc"])[None, None, :]].set(vals)
+    return E, cc
+
+
+# --------------------------------------------------------------------------
+# Flux computation, consistent fluxes, conservative update with sources
+# --------------------------------------------------------------------------
+@dataclass
+class FluidIndices:
+    """Variable indices wired by the simulation setup."""
+    i_electron: int
+    i_1pos_ion: int
+    i_electric_fld: int  # cc field norm
+    fc_E: int            # fc electric field
+    flux_species: List[int]      # cc base indices of species with fluxes
+    flux_fc: List[int]           # fc indices of their fluxes
+    flux_charge_sign: np.ndarray
+    all_densities: List[int]     # cc base indices of all evolving densities
+    species_cc: List[int]        # cc index per chemistry species
+    i_photo: int = -1
+    photoi_species_cc: int = -1
+
+
+class FluidModel:
+    """Batched forward-Euler step of the plasma fluid model."""
+
+    def __init__(self, tree: Tree, idx: FluidIndices, chemistry, transport,
+                 gas, bc_species: Callable, dt_cfg, settings,
+                 prolong_limiter: int, limiter: int = LIMITER_KOREN):
+        self.tree = tree
+        self.idx = idx
+        self.chem = chemistry
+        self.td = transport
+        self.gas = gas
+        self.bc_species = bc_species
+        self.dt_cfg = dt_cfg
+        self.st = settings
+        self.prolong_limiter = prolong_limiter
+        self.limiter = limiter
+        self.field_compute = None  # wired by the simulation (m_field)
+        self.last_diag = {}
+
+    # -------------------------------------------------------- flux kernel
+    def compute_fluxes(self, cc, fc, s_deriv: int, params):
+        """flux_upwind_tree: per-level 2-ghost assembly + Koren upwind flux
+        + CFL/DRT terms + fine-to-coarse flux matching.
+
+        Returns (cc, fc, dt_cfl, dt_drt)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        xp = _xp(cc)
+        idx = self.idx
+        sp_ivs = [iv + s_deriv for iv in idx.flux_species]
+        n_sp = len(sp_ivs)
+        sign = idx.flux_charge_sign
+
+        # ghost-cell validity near refinement boundaries
+        cc = pr.restrict_tree(cc, t, np.asarray(sp_ivs), use_geometry=True)
+
+        inv_max_cfl = 0.0   # max over cells of sum_d cfl terms
+        max_sigma = 1e-100
+
+        mob_tbl = self.td.tbl
+        N_inv = self.gas.inverse_number_density
+
+        for lvl in range(1, t.highest_lvl + 1):
+            plan = get_gc2_plan(t, lvl)
+            if len(plan.leaves) == 0:
+                continue
+            E, cc = gc2_extend(cc, plan, sp_ivs, self.bc_species, params,
+                               self.prolong_limiter)
+            n = len(plan.leaves)
+            dr = plan.dr
+            Eb = E.reshape((n, n_sp) + (nc + 4,) * ndim)
+            # cell-centered field norm with 1 ghost
+            Bfld = cc[idx.i_electric_fld, plan.leaves].reshape(
+                (n,) + (nc + 2,) * ndim)
+            cfl_sum = xp.zeros((n,) + (nc,) * ndim, dtype=cc.dtype)
+
+            for d in range(ndim):
+                def sl_faces(arr, start, width, ghost=1):
+                    # slice along dim d: [start, start+width) in that dim,
+                    # transverse interior of `ghost`-ghost array
+                    tot = arr.shape[-1] if False else None
+                    slc = []
+                    for k in range(ndim):
+                        if k == d:
+                            slc.append(slice(start, start + width))
+                        else:
+                            slc.append(slice(ghost, ghost + nc))
+                    return arr[(Ellipsis,) + tuple(slc)]
+
+                cL2 = sl_faces(Eb, 0, nc + 1, ghost=2)
+                cL = sl_faces(Eb, 1, nc + 1, ghost=2)
+                cR = sl_faces(Eb, 2, nc + 1, ghost=2)
+                cR2 = sl_faces(Eb, 3, nc + 1, ghost=2)
+
+                # upwind reconstruction (reconstruct_upwind_1d)
+                u_pos = cL + 0.5 * limiter_apply(cR - cL, cL - cL2,
+                                                 self.limiter)
+                u_neg = cR - 0.5 * limiter_apply(cR - cL, cR2 - cR,
+                                                 self.limiter)
+
+                # face-centered E-field component
+                faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
+                         for k in range(ndim)]
+                fidx = sp.fc_flat(ndim, nc, *faxes)
+                E_fc = fc[idx.fc_E, d, plan.leaves][:, fidx].reshape(
+                    (n,) + tuple(nc + 1 if k == d else nc
+                                 for k in range(ndim)))
+
+                dir_pos = (sign.reshape((1, n_sp) + (1,) * ndim)
+                           * E_fc[:, None]) > 0
+                u_f = xp.where(dir_pos, u_pos, u_neg)
+
+                # field strength at faces -> mobility/diffusion lookup
+                fld_lo = sl_faces(Bfld, 0, nc + 1, ghost=1)
+                fld_hi = sl_faces(Bfld, 1, nc + 1, ghost=1)
+                fld_face = (0.5 * (fld_lo + fld_hi)
+                            * uc.SI_to_Townsend * N_inv)
+                mu = mob_tbl.get_col(TD_MOBILITY, fld_face) * N_inv
+                dc = mob_tbl.get_col(TD_DIFFUSION, fld_face) * N_inv
+
+                inv_dx = 1.0 / dr[d]
+                v_e = -mu * E_fc
+                ne_L = cL[:, 0]
+                ne_R = cR[:, 0]
+                flux_e = v_e * u_f[:, 0] - dc * inv_dx * (ne_R - ne_L)
+                fluxes = [flux_e]
+                sigma = mu * u_f[:, 0]
+                for m in range(1, n_sp):
+                    mu_i = self.td.ion_mobilities[m - 1] * N_inv
+                    v_i = sign[m] * mu_i * E_fc
+                    fluxes.append(v_i * u_f[:, m])
+                    sigma = sigma + mu_i * u_f[:, m]
+                max_sigma = xp.maximum(max_sigma, xp.max(sigma))
+
+                # CFL sum per cell (flux_upwind, m_fluid.f90:195-197)
+                def cells_lo(F):
+                    slc = [slice(0, nc) if k == d else slice(None)
+                           for k in range(ndim)]
+                    return F[(Ellipsis,) + tuple(slc)]
+
+                def cells_hi(F):
+                    slc = [slice(1, nc + 1) if k == d else slice(None)
+                           for k in range(ndim)]
+                    return F[(Ellipsis,) + tuple(slc)]
+
+                cfl_sum = cfl_sum + (
+                    xp.maximum(xp.abs(cells_lo(v_e)), xp.abs(cells_hi(v_e)))
+                    * inv_dx
+                    + 2.0 * xp.maximum(cells_lo(dc), cells_hi(dc))
+                    * inv_dx ** 2)
+
+                # store fluxes
+                for m, f_iv in enumerate(idx.flux_fc):
+                    flat = fluxes[m].reshape(n, -1)
+                    if isinstance(fc, np.ndarray):
+                        fc[f_iv, d, plan.leaves[:, None], fidx[None, :]] = flat
+                    else:
+                        fc = fc.at[f_iv, d,
+                                   jnp.asarray(plan.leaves)[:, None],
+                                   jnp.asarray(fidx)[None, :]].set(flat)
+            inv_max_cfl = xp.maximum(inv_max_cfl, xp.max(cfl_sum))
+
+        fc = self.consistent_fluxes(fc, idx.flux_fc)
+        dt_cfl = 1.0 / xp.maximum(inv_max_cfl, 1e-100)
+        dt_drt = uc.eps0 / (uc.elem_charge * max_sigma)
+        return cc, fc, dt_cfl, dt_drt
+
+    # ----------------------------------------------- consistent fluxes
+    def _consistent_plan(self):
+        """(coarse leaf, fine child) flux-matching groups per direction
+        (af_consistent_fluxes, ``m_af_core.f90:1257-1404``)."""
+        t = self.tree
+        cache = getattr(t, "_consistent_flux_cache", None)
+        if cache is not None and cache.get("epoch") == t.epoch:
+            return cache["plan"]
+        nc, ndim = t.nc, t.ndim
+        hnc = nc // 2
+        groups = []  # (d, coarse_ids[], fine_ids[], tgt_fidx, src lists, cylw)
+        for lvl in range(1, t.highest_lvl):
+            for p_id in t.lvl_parents[lvl - 1]:
+                for d in range(2 * ndim):
+                    nb = int(t.neighbors[p_id, d])
+                    if nb < 0 or t.has_children(nb):
+                        continue
+                    dim, low = neighb_dim(d), neighb_low(d)
+                    # children of p_id adjacent to direction d
+                    for c in t.children[int(p_id)]:
+                        cdix = (t.ix[c] % 2)
+                        if cdix[dim] != (0 if low else 1):
+                            continue
+                        groups.append((lvl, d, int(nb), int(c)))
+        # build per-(lvl, d) batched index tables
+        by_key: Dict = {}
+        for lvl, d, nb, c in groups:
+            by_key.setdefault((lvl, d), []).append((nb, c))
+        plan = []
+        for (lvl, d), pairs in sorted(by_key.items()):
+            dim, low = neighb_dim(d), neighb_low(d)
+            # coarse target faces: on the coarse neighbor, the face adjacent
+            # to the fine box: ref i_nb = nc+1 (low side: fine is to its
+            # right... reference: i_nb = nc+1 if fine box is on the high
+            # side of the coarse box). Direction d is from the parent to the
+            # coarse neighbor; from the coarse box, the fine children are in
+            # direction d^1.
+            i_nb_ref = (nc + 1) if low else 1
+            tgt_face = i_nb_ref - 1  # my 0-based face index
+            nbs = np.array([p[0] for p in pairs], np.int32)
+            chs = np.array([p[1] for p in pairs], np.int32)
+            # fine source faces: ref i = 1 (low side of child) or nc+1
+            src_face = 0 if low else nc
+            # transverse offsets on the coarse box from the child parity
+            offs = []
+            for p in pairs:
+                off_all = (self.tree.ix[p[1]] % 2) * hnc
+                offs.append([off_all[k] for k in range(self.tree.ndim)
+                             if k != dim])
+            offs = np.asarray(offs, np.int64).reshape(len(pairs), -1)
+            # build gather/scatter index arrays
+            ndim_ = self.tree.ndim
+            if ndim_ == 1:
+                tgt = np.array([sp.fc_flat(1, nc, np.array([tgt_face]))[0]])
+                tgt_idx = np.tile(tgt, (len(pairs), 1))
+                src_idx = [np.tile(np.array(
+                    [sp.fc_flat(1, nc, np.array([src_face]))[0]]),
+                    (len(pairs), 1))]
+                weights = [np.ones((len(pairs), 1))]
+            else:
+                tdims = [k for k in range(ndim_) if k != dim]
+                tcells = np.arange(hnc)
+                # target coarse face cells: off + 0..hnc-1 per transverse dim
+                tgt_idx = np.zeros((len(pairs), hnc ** (ndim_ - 1)), np.int32)
+                nsrc = 2 ** (ndim_ - 1)
+                src_idx = [np.zeros((len(pairs), hnc ** (ndim_ - 1)), np.int32)
+                           for _ in range(nsrc)]
+                weights = [np.ones((len(pairs), hnc ** (ndim_ - 1)))
+                           for _ in range(nsrc)]
+                for pi, p in enumerate(pairs):
+                    axes = []
+                    for ti, k in enumerate(tdims):
+                        axes.append(offs[pi][ti] + tcells)
+                    mesh = np.meshgrid(*axes, indexing="ij")
+                    coarse_t = np.stack([m.ravel() for m in mesh], -1)
+                    v = np.zeros((coarse_t.shape[0], ndim_), np.int64)
+                    v[:, dim] = tgt_face
+                    for ti, k in enumerate(tdims):
+                        v[:, k] = coarse_t[:, ti]
+                    tgt_idx[pi] = np.ravel_multi_index(
+                        [v[:, k] for k in range(ndim_)],
+                        [nc + 1] * ndim_).astype(np.int32)
+                    # fine faces: 2 per transverse dim per coarse cell
+                    import itertools as it
+                    for si, bits in enumerate(it.product([0, 1],
+                                                         repeat=ndim_ - 1)):
+                        vf = np.zeros((coarse_t.shape[0], ndim_), np.int64)
+                        vf[:, dim] = src_face
+                        for ti, k in enumerate(tdims):
+                            fine_t = 2 * tcells  # local fine cells 0,2,..
+                            mesh_f = None
+                        # recompute fine transverse coords from local cells
+                        axes_f = []
+                        for ti, k in enumerate(tdims):
+                            axes_f.append(2 * tcells + bits[ti])
+                        mesh_f = np.meshgrid(*axes_f, indexing="ij")
+                        fine_tc = np.stack([m.ravel() for m in mesh_f], -1)
+                        for ti, k in enumerate(tdims):
+                            vf[:, k] = fine_tc[:, ti]
+                        src_idx[si][pi] = np.ravel_multi_index(
+                            [vf[:, k] for k in range(ndim_)],
+                            [nc + 1] * ndim_).astype(np.int32)
+                        # cylindrical weights for z-fluxes (dim=1 in cyl 2D)
+                        if (self.tree.coord == "cyl" and dim == 1):
+                            # weight depends on the radial fine position
+                            nb_id = p[0]
+                            r0 = self.tree.box_r_min(np.asarray([nb_id]))[0][0]
+                            drc = self.tree.lvl_dr(lvl)[0]
+                            i_c = offs[pi][0] + tcells + 1  # 1-based
+                            r_c = r0 + (i_c - 0.5) * drc
+                            tmp = 0.25 * drc / r_c
+                            w = (1.0 - tmp) if bits[0] == 0 else (1.0 + tmp)
+                            weights[si][pi] = w
+            plan.append(dict(d=d, nbs=nbs, chs=chs, tgt=tgt_idx,
+                             src=src_idx, w=weights, dim=dim))
+        t._consistent_flux_cache = {"epoch": t.epoch, "plan": plan}
+        return plan
+
+    def consistent_fluxes(self, fc, flux_fc: List[int]):
+        """Replace coarse fluxes at refinement boundaries by the average of
+        the fine fluxes."""
+        plan = self._consistent_plan()
+        xp = _xp(fc)
+        fvars = np.asarray(flux_fc, np.int32)
+        for g in plan:
+            nsrc = len(g["src"])
+            acc = 0.0
+            for si in range(nsrc):
+                vals = fc[fvars[:, None, None], g["dim"],
+                          g["chs"][None, :, None], g["src"][si][None, :, :]]
+                acc = acc + g["w"][si][None] * vals
+            acc = acc / nsrc
+            if isinstance(fc, np.ndarray):
+                fc[fvars[:, None, None], g["dim"], g["nbs"][None, :, None],
+                   g["tgt"][None, :, :]] = acc
+            else:
+                fc = fc.at[jnp.asarray(fvars)[:, None, None], g["dim"],
+                           jnp.asarray(g["nbs"])[None, :, None],
+                           jnp.asarray(g["tgt"])[None, :, :]].set(acc)
+        return fc
+
+    # ------------------------------------------------------------ update
+    def _cell_volumes(self, lvl: int, n: int):
+        """Cell volumes [n, nc^ndim] (cyl: 2 pi r dr dz)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        dr = t.lvl_dr(lvl)
+        if t.coord == "cyl":
+            leaves = t.lvl_leaves[lvl - 1]
+            r0 = t.box_r_min(leaves)[:, 0]
+            i = np.arange(1, nc + 1)
+            r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
+            vol = 2.0 * np.pi * r_cc * np.prod(dr)  # [n, nc]
+            return np.repeat(vol[:, :, None], nc, axis=2).reshape(n, -1)
+        return np.full((n, nc ** ndim), float(np.prod(dr)))
+
+    def update_densities(self, cc, fc, dt: float, s_deriv: int,
+                         s_prev: List[int], w_prev: List[float], s_out: int,
+                         last_step: bool, params):
+        """flux_update_densities + add_source_terms. Returns
+        (cc, dt_chem, diag)."""
+        t = self.tree
+        idx = self.idx
+        nc, ndim = t.nc, t.ndim
+        xp = _xp(cc)
+        interior = sp.interior_flat(ndim, nc)
+        dt_chem = 1e100
+        total_rates = 0.0
+        total_JdotE = 0.0
+        eps = 1e-100
+
+        for lvl in range(1, t.highest_lvl + 1):
+            leaves = np.asarray(t.lvl_leaves[lvl - 1])
+            if len(leaves) == 0:
+                continue
+            n = len(leaves)
+            dr = t.lvl_dr(lvl)
+
+            # weighted sum of previous states for ALL densities
+            for iv in idx.all_densities:
+                acc = 0.0
+                for s, w in zip(s_prev, w_prev):
+                    acc = acc + w * cc[iv + s, leaves[:, None],
+                                       interior[None, :]]
+                if isinstance(cc, np.ndarray):
+                    cc[iv + s_out, leaves[:, None], interior[None, :]] = acc
+                else:
+                    cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].set(acc)
+
+            # ---------------- chemistry source terms (add_source_terms)
+            fields_td = (cc[idx.i_electric_fld, leaves[:, None],
+                            interior[None, :]]
+                         * uc.SI_to_Townsend * self.gas.inverse_number_density)
+            dens_cols = []
+            for s_cc in idx.species_cc:
+                dens_cols.append(cc[s_cc + s_deriv, leaves[:, None],
+                                    interior[None, :]])
+            dens = xp.stack(dens_cols, axis=-1)
+            dens = xp.maximum(dens, 0.0)
+            flat_fields = fields_td.reshape(-1)
+            rates = self.chem.get_rates(flat_fields)
+            full, derivs = self.chem.get_derivatives(
+                dens.reshape(-1, len(idx.species_cc)), rates)
+            C = nc ** ndim
+            derivs = derivs.reshape(n, C, -1)
+            full = full.reshape(n, C, -1)
+
+            # chemistry time step restriction (add_source_terms :404-414)
+            if self.dt_cfg.chemistry_nmin > 0:
+                tmp = xp.min((dens + self.dt_cfg.chemistry_nmin)
+                             / xp.maximum(xp.abs(derivs), eps))
+                dt_chem = min(dt_chem, float(tmp)) if isinstance(
+                    tmp, (float, np.floating)) else xp.minimum(dt_chem, tmp)
+            elif self.dt_cfg.chemistry_limit_loss:
+                tmp = xp.min(xp.maximum(dens, eps)
+                             / xp.maximum(-derivs, eps))
+                dt_chem = xp.minimum(dt_chem, tmp)
+
+            if last_step:
+                vol = self._cell_volumes(lvl, n)
+                total_rates = total_rates + xp.sum(
+                    full * vol[:, :, None], axis=(0, 1))
+                # J.E with cell volumes (sum_global_JdotE, m_fluid.f90:702-731)
+                total_JdotE = total_JdotE + self._sum_JdotE(fc, lvl, vol)
+
+            # photoionization source
+            if idx.i_photo >= 0:
+                photo = cc[idx.i_photo, leaves[:, None], interior[None, :]]
+                e_pos = idx.species_cc.index(idx.i_electron)
+                ph_pos = idx.species_cc.index(idx.photoi_species_cc)
+                if isinstance(derivs, np.ndarray):
+                    derivs[:, :, e_pos] += photo
+                    derivs[:, :, ph_pos] += photo
+                else:
+                    derivs = derivs.at[:, :, e_pos].add(photo)
+                    derivs = derivs.at[:, :, ph_pos].add(photo)
+
+            # apply source terms
+            for spi, s_cc in enumerate(idx.species_cc):
+                upd = dt * derivs[:, :, spi]
+                if isinstance(cc, np.ndarray):
+                    cc[s_cc + s_out, leaves[:, None], interior[None, :]] += upd
+                else:
+                    cc = cc.at[s_cc + s_out, jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].add(upd)
+
+            # ---------------- flux divergence (flux_update_densities)
+            rfac = None
+            if t.coord == "cyl":
+                r0 = t.box_r_min(leaves)[:, 0]
+                i = np.arange(1, nc + 1)
+                r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
+                rfac = ((r_cc - 0.5 * dr[0]) / r_cc,
+                        (r_cc + 0.5 * dr[0]) / r_cc)  # [n, nc]
+            for m, iv in enumerate(idx.flux_species):
+                f_iv = idx.flux_fc[m]
+                div = 0.0
+                for d in range(ndim):
+                    faxes = [np.arange(0, nc + 1) if k == d
+                             else np.arange(0, nc) for k in range(ndim)]
+                    fidx = sp.fc_flat(ndim, nc, *faxes)
+                    F = fc[f_iv, d, leaves[:, None], fidx[None, :]].reshape(
+                        (n,) + tuple(nc + 1 if k == d else nc
+                                     for k in range(ndim)))
+                    lo_slc = tuple(slice(0, nc) if k == d else slice(None)
+                                   for k in range(ndim))
+                    hi_slc = tuple(slice(1, nc + 1) if k == d else slice(None)
+                                   for k in range(ndim))
+                    F_lo = F[(slice(None),) + lo_slc]
+                    F_hi = F[(slice(None),) + hi_slc]
+                    if rfac is not None and d == 0:
+                        shape = (n, nc) + (1,) * (ndim - 1)
+                        F_lo = F_lo * rfac[0].reshape(shape)
+                        F_hi = F_hi * rfac[1].reshape(shape)
+                    div = div + (F_lo - F_hi) / dr[d]
+                upd = dt * div.reshape(n, -1)
+                if isinstance(cc, np.ndarray):
+                    cc[iv + s_out, leaves[:, None], interior[None, :]] += upd
+                else:
+                    cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].add(upd)
+
+        diag = {"rates": total_rates, "JdotE": total_JdotE}
+        return cc, dt_chem, diag
+
+    def _sum_JdotE(self, fc, lvl: int, vol):
+        """Volume-integrated J.E * elec_charge for the level's leaves."""
+        t = self.tree
+        idx = self.idx
+        nc, ndim = t.nc, t.ndim
+        xp = _xp(fc)
+        leaves = np.asarray(t.lvl_leaves[lvl - 1])
+        n = len(leaves)
+        acc = 0.0
+        for d in range(ndim):
+            faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
+                     for k in range(ndim)]
+            fidx = sp.fc_flat(ndim, nc, *faxes)
+            shape = (n,) + tuple(nc + 1 if k == d else nc
+                                 for k in range(ndim))
+            Fe = fc[idx.flux_fc[0], d, leaves[:, None],
+                    fidx[None, :]].reshape(shape)
+            Ef = fc[idx.fc_E, d, leaves[:, None],
+                    fidx[None, :]].reshape(shape)
+            lo = tuple(slice(0, nc) if k == d else slice(None)
+                       for k in range(ndim))
+            hi = tuple(slice(1, nc + 1) if k == d else slice(None)
+                       for k in range(ndim))
+            prod = 0.5 * ((Fe * Ef)[(slice(None),) + lo]
+                          + (Fe * Ef)[(slice(None),) + hi])
+            acc = acc + xp.sum(prod.reshape(n, -1) * vol)
+        return acc * uc.elec_charge
+
+    # ----------------------------------------------------- forward Euler
+    def forward_euler(self, cc, fc, dt: float, dt_lim_state, time: float,
+                      s_deriv: int, s_prev: List[int], w_prev: List[float],
+                      s_out: int, i_step: int, n_steps: int, params):
+        """One explicit sub-step (forward_euler, ``m_fluid.f90:21-99``).
+
+        Returns (cc, fc, dt_lim, diag)."""
+        last_step = i_step == n_steps
+        if i_step > 1 and self.field_compute is not None:
+            cc, fc = self.field_compute(cc, fc, s_deriv, time, True, params)
+        cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv, params)
+        cc, dt_chem, diag = self.update_densities(
+            cc, fc, dt, s_deriv, s_prev, w_prev, s_out, last_step, params)
+        xp = _xp(cc)
+        # NOTE: the reference *assigns* dt_lim in each substep
+        # (m_fluid.f90:96-98), so af_advance returns the limit of the LAST
+        # substep, not the minimum over substeps.
+        dt_lim = xp.minimum(
+            self.dt_cfg.dt_max,
+            xp.minimum(xp.minimum(dt_cfl * self.dt_cfg.cfl_number, dt_drt),
+                       dt_chem))
+        return cc, fc, dt_lim, diag

@@ -1,0 +1,104 @@
+"""Initial conditions: background density and seeds.
+
+Re-implements the reference's ``src/m_init_cond.f90`` (init_cond_initialize
+``:39-144``, init_cond_set_box ``:217-291``): background electron/ion
+density, line seeds with configurable endpoints, widths and fall-off
+profiles, optional per-species seeds; evaluated vectorized over whole box
+batches (including one ghost layer, as the reference does with
+``KJI_DO(0,nc+1)``)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils import geometry
+
+
+class InitCond:
+    def __init__(self, cfg, settings, registry, i_electron: int,
+                 i_1pos_ion: int):
+        ndim = settings.ndim
+        self.i_electron = i_electron
+        self.i_1pos_ion = i_1pos_ion
+        self.background_density = cfg.add_get(
+            "background_density", 0.0,
+            "The background ion and electron density (1/m3)")
+        self.stochastic_density = cfg.add_get(
+            "stochastic_density", 0.0, "Stochastic background density (1/m3)")
+        dens = cfg.add_get("seed_density", [],
+                           "Initial density of the seed (1/m3)", dynamic=True)
+        self.n_cond = len(dens)
+        self.seed_density = np.asarray([float(x) for x in dens])
+        r0 = cfg.add_get("seed_rel_r0", [],
+                         "The relative start position of the initial seed",
+                         dynamic=True)
+        r1 = cfg.add_get("seed_rel_r1", [],
+                         "The relative end position of the initial seed",
+                         dynamic=True)
+        ct = cfg.add_get("seed_charge_type", [],
+                         "Type of seed: neutral (0), ions (1) or electrons "
+                         "(-1)", dynamic=True)
+        w = cfg.add_get("seed_width", [], "Seed width (m)", dynamic=True)
+        fo = cfg.add_get("seed_falloff", [],
+                         "Fall-off type for seed (sigmoid, gaussian, "
+                         "smoothstep, step, laser)", dynamic=True)
+        if len(r0) != ndim * self.n_cond or len(r1) != ndim * self.n_cond:
+            raise ValueError("seed_rel_r0/r1 has incompatible size")
+        rel0 = np.asarray([float(x) for x in r0]).reshape(ndim, self.n_cond,
+                                                          order="F")
+        rel1 = np.asarray([float(x) for x in r1]).reshape(ndim, self.n_cond,
+                                                          order="F")
+        self.seed_r0 = (rel0.T * settings.domain_len + settings.domain_origin)
+        self.seed_r1 = (rel1.T * settings.domain_len + settings.domain_origin)
+        self.seed_charge_type = [int(x) for x in ct]
+        self.seed_width = np.asarray([float(x) for x in w])
+        self.seed_falloff = list(fo)
+        d2 = cfg.add_get("seed_density2", list(self.seed_density),
+                         "Initial density of the seed at other endpoint "
+                         "(1/m3)", dynamic=True)
+        self.seed_density2 = np.asarray([float(x) for x in d2])
+
+    def set_box_values(self, tree, ids) -> dict:
+        """Evaluate initial conditions for the given boxes.
+
+        Returns {cc_index: array [n_ids, (nc+2)^ndim]} of values to SET
+        (background) and seeds to ADD are already combined."""
+        nc, ndim = tree.nc, tree.ndim
+        vals = {self.i_electron: np.zeros((len(ids), (nc + 2) ** ndim)),
+                self.i_1pos_ion: np.zeros((len(ids), (nc + 2) ** ndim))}
+        for n_i, b in enumerate(ids):
+            coords = tree.cell_coords(int(b)).reshape(-1, ndim)
+            e = np.full(coords.shape[0], self.background_density)
+            ion = np.full(coords.shape[0], self.background_density)
+            for s in range(self.n_cond):
+                dens = geometry.density_line(
+                    coords, self.seed_r0[s], self.seed_r1[s],
+                    self.seed_density[s], self.seed_density2[s],
+                    self.seed_width[s], self.seed_falloff[s])
+                t = self.seed_charge_type[s]
+                if t == -1:
+                    e = e + dens
+                elif t == 0:
+                    e = e + dens
+                    ion = ion + dens
+                elif t == 1:
+                    ion = ion + dens
+                else:
+                    raise ValueError("Invalid seed_charge_type")
+            vals[self.i_electron][n_i] = e
+            vals[self.i_1pos_ion][n_i] = ion
+        return vals
+
+    def apply(self, cc, tree, ids):
+        vals = self.set_box_values(tree, ids)
+        ids = np.asarray(ids)
+        if isinstance(cc, np.ndarray):
+            for iv, v in vals.items():
+                cc[iv, ids] = v
+        else:
+            import jax.numpy as jnp
+            for iv, v in vals.items():
+                cc = cc.at[iv, jnp.asarray(ids)].set(v)
+        return cc

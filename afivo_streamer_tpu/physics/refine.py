@@ -1,0 +1,186 @@
+"""Adaptive-refinement criterion.
+
+Re-implements the reference's ``src/m_refine.f90`` (default_refinement
+``:198-298``): refine where alpha(f E)/f * dx exceeds refine_adx (with
+optional effective alpha), derefine below an eighth of that, keep the seed
+region refined until refine_init_time, user regions/limits, and dx clamps.
+Evaluated vectorized over the box batch on the host at refinement epochs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import constants as uc
+from ..core import spatial as sp
+from ..core.tree import DO_REF, KEEP_REF, RM_REF
+from ..utils import geometry
+from .transport_data import TD_ALPHA, TD_ETA
+
+
+class RefineSettings:
+    def __init__(self, cfg):
+        self.buffer_width = cfg.add_get(
+            "refine_buffer_width", 4,
+            "The refinement buffer width in cells (around flagged cells)")
+        self.per_steps = cfg.add_get(
+            "refine_per_steps", 2,
+            "The number of steps after which the mesh is updated")
+        self.min_dx = cfg.add_get(
+            "refine_min_dx", 1.0e-7,
+            "The grid spacing will always be larger than this value (m)")
+        self.max_dx = cfg.add_get(
+            "refine_max_dx", 1.0e-3,
+            "The grid spacing will always be smaller than this value (m)")
+        self.adx = cfg.add_get("refine_adx", 1.0,
+                               "Refine if alpha*dx is larger than this value")
+        self.derefine_dx = cfg.add_get(
+            "derefine_dx", 1e-4,
+            "Only derefine if grid spacing if smaller than this value")
+        self.init_time = cfg.add_get(
+            "refine_init_time", 10e-9,
+            "Refine around initial conditions up to this time")
+        self.init_fac = cfg.add_get(
+            "refine_init_fac", 0.25,
+            "Refine until dx is smaller than this factor times the seed width")
+        self.electrode_dx = cfg.add_get(
+            "refine_electrode_dx", 1e99,
+            "Ensure grid spacing around electrode is less than this value (m)")
+        self.adx_fac = cfg.add_get(
+            "refine_adx_fac", 1.0,
+            "For refinement, use alpha(f * E)/f, where f is this factor")
+        self.cphi = cfg.add_get(
+            "refine_cphi", 1e99,
+            "Refine if the curvature in phi is larger than this value")
+        self.derefine_cphi = cfg.add_get(
+            "derefine_cphi", 1e99,
+            "Allow derefinement if the curvature in phi is smaller than this")
+        self.min_dens = cfg.add_get(
+            "refine_min_dens", -1.0e99,
+            "Minimum electron density for adding grid refinement")
+        self.use_alpha_effective = cfg.add_get(
+            "refine_use_alpha_effective", False,
+            "Use effective alpha (minus attachment) for refinement")
+        regions_dr = cfg.add_get("refine_regions_dr", [1.0e99],
+                                 "Refine regions up to this grid spacing (m)",
+                                 dynamic=True)
+        self.regions_dr = np.asarray([float(x) for x in regions_dr])
+        self.regions_tstop = np.asarray([float(x) for x in cfg.add_get(
+            "refine_regions_tstop", [1.0e99],
+            "Refine regions up to this simulation time", dynamic=True)])
+        self.regions_rmin = np.asarray([float(x) for x in cfg.add_get(
+            "refine_regions_rmin", [0.0], "Minimum coordinate of the "
+            "refinement regions", dynamic=True)])
+        self.regions_rmax = np.asarray([float(x) for x in cfg.add_get(
+            "refine_regions_rmax", [0.0], "Maximum coordinate of the "
+            "refinement regions", dynamic=True)])
+        limits_dr = cfg.add_get("refine_limits_dr", [1.0e99],
+                                "Refine regions at most up to this grid "
+                                "spacing", dynamic=True)
+        self.limits_dr = np.asarray([float(x) for x in limits_dr])
+        self.limits_rmin = np.asarray([float(x) for x in cfg.add_get(
+            "refine_limits_rmin", [0.0], "Minimum coordinate of the "
+            "refinement limits", dynamic=True)])
+        self.limits_rmax = np.asarray([float(x) for x in cfg.add_get(
+            "refine_limits_rmax", [0.0], "Maximum coordinate of the "
+            "refinement limits", dynamic=True)])
+
+
+class RefineCriterion:
+    def __init__(self, settings: RefineSettings, tree, transport, gas,
+                 init_cond, i_electric_fld: int, i_electron: int):
+        self.rs = settings
+        self.tree = tree
+        self.td = transport
+        self.gas = gas
+        self.ic = init_cond
+        self.i_electric_fld = i_electric_fld
+        self.i_electron = i_electron
+        self.time = 0.0
+
+    def cell_flags(self, cc, ids) -> np.ndarray:
+        """default_refinement for the given boxes; returns flags
+        [n, [nc]^ndim]."""
+        t = self.tree
+        rs = self.rs
+        nc, ndim = t.nc, t.ndim
+        ids = np.asarray(ids)
+        n = len(ids)
+        interior = sp.interior_flat(ndim, nc)
+        shape = (n,) + (nc,) * ndim
+        fld = np.asarray(cc[self.i_electric_fld, ids[:, None],
+                            interior[None, :]]).reshape(shape)
+        elec = np.asarray(cc[self.i_electron, ids[:, None],
+                             interior[None, :]]).reshape(shape)
+        gas_dens = self.gas.number_density
+        fld_td = fld * uc.SI_to_Townsend / gas_dens
+        if rs.use_alpha_effective:
+            alpha = (self.td.tbl.get_col(TD_ALPHA, rs.adx_fac * fld_td)
+                     - self.td.tbl.get_col(TD_ETA, rs.adx_fac * fld_td))
+            alpha = np.maximum(alpha, 0.0)
+        else:
+            alpha = self.td.tbl.get_col(TD_ALPHA, rs.adx_fac * fld_td)
+        alpha = alpha * gas_dens / rs.adx_fac
+
+        lvls = t.lvl[ids]
+        max_dx = np.array([t.lvl_dr(int(l)).max() for l in lvls])
+        min_dx = np.array([t.lvl_dr(int(l)).min() for l in lvls])
+        bshape = (n,) + (1,) * ndim
+        adx = alpha * max_dx.reshape(bshape)
+
+        flags = np.full(shape, KEEP_REF, dtype=np.int64)
+        flags = np.where((adx > rs.adx) & (elec > rs.min_dens), DO_REF, flags)
+        flags = np.where((adx < 0.125 * rs.adx)
+                         & (max_dx.reshape(bshape) < rs.derefine_dx)
+                         & (flags == KEEP_REF), RM_REF, flags)
+
+        # refine around the initial seeds (m_refine.f90:248-259)
+        if self.time < rs.init_time and self.ic is not None:
+            for s in range(self.ic.n_cond):
+                w = self.ic.seed_width[s]
+                for n_i, b in enumerate(ids):
+                    if max_dx[n_i] <= rs.init_fac * w:
+                        continue
+                    coords = t.cell_coords(int(b))[
+                        (slice(1, nc + 1),) * ndim]
+                    dist = geometry.dist_line(
+                        coords.reshape(-1, ndim), self.ic.seed_r0[s],
+                        self.ic.seed_r1[s]).reshape((nc,) * ndim)
+                    flags[n_i] = np.where(
+                        dist - w < 2 * max_dx[n_i], DO_REF, flags[n_i])
+
+        # fixed refinement regions / limits (m_refine.f90:268-289)
+        for n_i, b in enumerate(ids):
+            rmin = t.box_r_min(np.asarray([int(b)]))[0]
+            rmax = rmin + t.lvl_dr(int(lvls[n_i])) * nc
+            for k in range(len(rs.regions_dr)):
+                reg_min = rs.regions_rmin.reshape(-1, ndim)
+                reg_max = rs.regions_rmax.reshape(-1, ndim)
+                if (self.time <= rs.regions_tstop[k]
+                        and max_dx[n_i] > rs.regions_dr[k]
+                        and k < reg_min.shape[0]
+                        and np.all(rmax >= reg_min[k])
+                        and np.all(rmin <= reg_max[k])):
+                    flags[n_i][(nc // 2,) * ndim] = DO_REF
+            lim_min = rs.limits_rmin.reshape(-1, ndim)
+            for k in range(len(rs.limits_dr)):
+                lim_max = rs.limits_rmax.reshape(-1, ndim)
+                if (max_dx[n_i] < 2 * rs.limits_dr[k]
+                        and k < lim_min.shape[0]
+                        and np.all(rmin >= lim_min[k])
+                        and np.all(rmax <= lim_max[k])):
+                    flags[n_i] = np.where(flags[n_i] == DO_REF, KEEP_REF,
+                                          flags[n_i])
+
+        # dx clamps (m_refine.f90:292-296)
+        too_coarse = max_dx > rs.max_dx
+        too_fine = min_dx < 2 * rs.min_dx
+        for n_i in range(n):
+            if too_coarse[n_i]:
+                flags[n_i] = DO_REF
+            elif too_fine[n_i]:
+                flags[n_i] = np.where(flags[n_i] == DO_REF, KEEP_REF,
+                                      flags[n_i])
+        return flags

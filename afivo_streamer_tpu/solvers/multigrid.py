@@ -217,12 +217,18 @@ class Multigrid:
         return cc
 
     def max_abs_residual(self, cc, max_lvl: Optional[int] = None):
+        """max |rhs - L(phi)| over the *leaves* (the reference's
+        af_tree_maxabs_cc reduction loops leaves only,
+        ``m_af_utils.f90:773-784``)."""
         t = self.tree
         max_lvl = max_lvl or t.highest_lvl
         xp = np if isinstance(cc, np.ndarray) else jnp
         m = 0.0
         for lvl in range(1, max_lvl + 1):
-            res = self._residual_blocks(cc, lvl, t.lvl_ids[lvl - 1])
+            leaves = t.lvl_leaves[lvl - 1]
+            if len(leaves) == 0:
+                continue
+            res = self._residual_blocks(cc, lvl, leaves)
             m = xp.maximum(m, xp.max(xp.abs(res)))
         return m
 
