@@ -65,7 +65,7 @@ class Simulation:
                               table_settings,
                               self.model.has_energy_equation, cfg)
         self.st = StreamerSettings(cfg, ndim)
-        self.refine_cfg = RefineSettings(cfg)
+        self.refine_cfg = RefineSettings(cfg, ndim)
 
         # ---- variable registration (ST_initialize / chemistry_initialize)
         reg = Registry()

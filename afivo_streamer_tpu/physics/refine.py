@@ -21,7 +21,7 @@ from .transport_data import TD_ALPHA, TD_ETA
 
 
 class RefineSettings:
-    def __init__(self, cfg):
+    def __init__(self, cfg, ndim: int = 2):
         self.buffer_width = cfg.add_get(
             "refine_buffer_width", 4,
             "The refinement buffer width in cells (around flagged cells)")
@@ -71,20 +71,20 @@ class RefineSettings:
             "refine_regions_tstop", [1.0e99],
             "Refine regions up to this simulation time", dynamic=True)])
         self.regions_rmin = np.asarray([float(x) for x in cfg.add_get(
-            "refine_regions_rmin", [0.0], "Minimum coordinate of the "
+            "refine_regions_rmin", [0.0] * ndim, "Minimum coordinate of the "
             "refinement regions", dynamic=True)])
         self.regions_rmax = np.asarray([float(x) for x in cfg.add_get(
-            "refine_regions_rmax", [0.0], "Maximum coordinate of the "
+            "refine_regions_rmax", [0.0] * ndim, "Maximum coordinate of the "
             "refinement regions", dynamic=True)])
         limits_dr = cfg.add_get("refine_limits_dr", [1.0e99],
                                 "Refine regions at most up to this grid "
                                 "spacing", dynamic=True)
         self.limits_dr = np.asarray([float(x) for x in limits_dr])
         self.limits_rmin = np.asarray([float(x) for x in cfg.add_get(
-            "refine_limits_rmin", [0.0], "Minimum coordinate of the "
+            "refine_limits_rmin", [0.0] * ndim, "Minimum coordinate of the "
             "refinement limits", dynamic=True)])
         self.limits_rmax = np.asarray([float(x) for x in cfg.add_get(
-            "refine_limits_rmax", [0.0], "Maximum coordinate of the "
+            "refine_limits_rmax", [0.0] * ndim, "Maximum coordinate of the "
             "refinement limits", dynamic=True)])
 
 

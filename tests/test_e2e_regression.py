@@ -1,0 +1,79 @@
+"""End-to-end regression tests against the reference's committed golden logs.
+
+The primary test strategy of the reference (SURVEY.md section 4): run the
+shipped test configurations and compare the regression log (per-species
+volume-averaged sum(n), sum(n^2), max(n) at each output time) against the
+golden ``*_rtest.log`` with np.isclose(rtol=1e-5, atol=1e-8).
+
+The short variants here run the first few output intervals (CI-friendly);
+the full 10 ns runs are marked slow and match the complete goldens.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from compare_logs import compare  # noqa: E402
+
+from afivo_streamer_tpu.driver import Simulation  # noqa: E402
+
+REF = "/root/reference/programs"
+
+
+def run_case(tmp_path, cfg, ndim, data_file, end_time=None):
+    base = os.path.dirname(cfg)
+    out = str(tmp_path / "run")
+    sim = Simulation(argv=[
+        cfg, f"-ndim={ndim}",
+        f"-input_data%file={os.path.join(base, data_file)}",
+        f"-output%name={out}",
+    ])
+    sim.run(end_time=end_time)
+    return out + "_rtest.log", sim
+
+
+def compare_prefix(mine, golden, n_rows):
+    """Compare the first n_rows data rows."""
+    a = np.loadtxt(mine, skiprows=1, ndmin=2)
+    b = np.loadtxt(golden, skiprows=1, ndmin=2)[:len(a)]
+    assert len(a) >= n_rows, f"only {len(a)} rows produced"
+    ok = np.isclose(a[:n_rows], b[:n_rows], rtol=1e-5, atol=1e-8)
+    assert ok.all(), (
+        f"mismatch at rows/cols {np.argwhere(~ok)[:5]}\n"
+        f"{a[:n_rows][~ok][:5]} vs {b[:n_rows][~ok][:5]}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_standard_1d_short(tmp_path):
+    log, _ = run_case(
+        tmp_path, f"{REF}/standard_1d/tests/test_1d.cfg", 1,
+        "td_air_siglo_swarm.txt", end_time=1.05e-9)
+    compare_prefix(log, f"{REF}/standard_1d/tests/test_1d_rtest.log", 5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_standard_1d_chemistry_short(tmp_path):
+    log, _ = run_case(
+        tmp_path, f"{REF}/standard_1d/tests/test_1d_chemistry.cfg", 1,
+        "air_chemistry_Baohong_reactions.txt", end_time=1.05e-9)
+    compare_prefix(
+        log, f"{REF}/standard_1d/tests/test_1d_chemistry_rtest.log", 5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_standard_1d_full(tmp_path):
+    log, _ = run_case(tmp_path, f"{REF}/standard_1d/tests/test_1d.cfg", 1,
+                      "td_air_siglo_swarm.txt")
+    assert compare(log, f"{REF}/standard_1d/tests/test_1d_rtest.log")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_cyl_full(tmp_path):
+    log, _ = run_case(tmp_path, f"{REF}/standard_2d/tests/test_cyl.cfg", 2,
+                      "td_air_siglo_swarm.txt")
+    assert compare(log, f"{REF}/standard_2d/tests/test_cyl_rtest.log")
