@@ -696,13 +696,15 @@ class FluidModel:
 
             # chemistry time step restriction (add_source_terms :404-414)
             if self.dt_cfg.chemistry_nmin > 0:
-                tmp = xp.min((dens + self.dt_cfg.chemistry_nmin)
-                             / xp.maximum(xp.abs(derivs), eps))
-                dt_chem = min(dt_chem, float(tmp)) if isinstance(
-                    tmp, (float, np.floating)) else xp.minimum(dt_chem, tmp)
+                dflat = dens.reshape(-1, len(idx.species_cc))
+                tmp = xp.min((dflat + self.dt_cfg.chemistry_nmin)
+                             / xp.maximum(xp.abs(derivs.reshape(
+                                 dflat.shape)), eps))
+                dt_chem = xp.minimum(dt_chem, tmp)
             elif self.dt_cfg.chemistry_limit_loss:
-                tmp = xp.min(xp.maximum(dens, eps)
-                             / xp.maximum(-derivs, eps))
+                dflat = dens.reshape(-1, len(idx.species_cc))
+                tmp = xp.min(xp.maximum(dflat, eps)
+                             / xp.maximum(-derivs.reshape(dflat.shape), eps))
                 dt_chem = xp.minimum(dt_chem, tmp)
 
             if last_step:

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Benchmark: full streamer time step on the standard_2d axisymmetric case.
+
+Measures the wall-clock of one complete jitted time step (Heun: two
+drift-diffusion-reaction substeps with Koren upwind fluxes + chemistry, and
+FAS multigrid Poisson solves with 2 V-cycles) on a multi-level AMR mesh of
+the test_cyl configuration, reported as microseconds per leaf cell per step
+— the north-star metric of BASELINE.md (standard_2d time/step). The
+reference publishes no in-repo absolute numbers (BASELINE.json published:
+{}), so vs_baseline is reported as 1.0.
+
+Runs on whatever accelerator JAX selects (TPU under axon; CPU fallback).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(dtype32: bool):
+    import jax
+    if not dtype32:
+        jax.config.update("jax_enable_x64", True)
+    from afivo_streamer_tpu.driver import Simulation
+    ref = "/root/reference/programs/standard_2d/tests"
+    sim = Simulation(argv=[
+        f"{ref}/test_cyl.cfg", "-ndim=2",
+        f"-input_data%file={ref}/td_air_siglo_swarm.txt",
+        "-output%name=/tmp/bench/run",
+        # cap the depth so the benchmark mesh is a stable 5-level AMR tree
+        "-refine_min_dx=1e-4",
+    ])
+    return sim
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    dtype32 = jax.default_backend() == "tpu"
+    sim = build(dtype32)
+    import jax.numpy as jnp
+    from afivo_streamer_tpu.parallel.compiled import make_step_fn
+    from afivo_streamer_tpu.core import reductions as red
+
+    n_cells = red.n_leaf_cells(sim.tree)
+    dtype = jnp.float32 if dtype32 else jnp.float64
+    cc = jnp.asarray(sim.cc, dtype=dtype)
+    fc = jnp.asarray(sim.fc, dtype=dtype)
+    fn = make_step_fn(sim, n_vcycles=2)
+    step = jax.jit(fn, donate_argnums=(0, 1))
+
+    t0 = time.time()
+    cc, fc, dt_lim = step(cc, fc, jnp.asarray(1e-13, dtype),
+                          sim.field.current_voltage)
+    dt_lim.block_until_ready()
+    compile_s = time.time() - t0
+
+    # warmup + timed steps
+    for _ in range(3):
+        cc, fc, dt_lim = step(cc, fc, jnp.asarray(1e-13, dtype),
+                              sim.field.current_voltage)
+    dt_lim.block_until_ready()
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        cc, fc, dt_lim = step(cc, fc, jnp.asarray(1e-13, dtype),
+                              sim.field.current_voltage)
+    dt_lim.block_until_ready()
+    per_step = (time.time() - t0) / n_steps
+    us_per_cell = per_step / n_cells * 1e6
+
+    result = {
+        "metric": "standard_2d(test_cyl) full step, "
+                  f"{sim.tree.highest_lvl}-level AMR, {n_cells} cells, "
+                  f"{'f32' if dtype32 else 'f64'} "
+                  f"[{jax.default_backend()}]",
+        "value": round(us_per_cell, 4),
+        "unit": "us/cell/step",
+        "vs_baseline": 1.0,
+        "extra": {
+            "step_ms": round(per_step * 1e3, 3),
+            "compile_s": round(compile_s, 1),
+            "setup_s": round(t0 - t_setup, 1),
+            "dt_lim": float(dt_lim),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
