@@ -79,11 +79,14 @@ def tree_min_cc(cc, tree: Tree, iv: int) -> float:
 
 
 def tree_maxabs_cc(cc, tree: Tree, iv: int) -> float:
+    """max |cc(iv)| over leaf interiors (af_tree_maxabs_cc loops leaves)."""
     nc, ndim = tree.nc, tree.ndim
     interior = sp.interior_flat(ndim, nc)
     best = 0.0
     for lvl in range(1, tree.highest_lvl + 1):
-        leaves = np.asarray(tree.lvl_ids[lvl - 1])
+        leaves = np.asarray(tree.lvl_leaves[lvl - 1])
+        if len(leaves) == 0:
+            continue
         vals = np.asarray(cc[iv, leaves[:, None], interior[None, :]])
         best = max(best, float(np.max(np.abs(vals))))
     return best

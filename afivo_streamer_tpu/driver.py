@@ -31,6 +31,7 @@ from .physics.fluid import FluidModel, FluidIndices
 from .physics.gas import Gas
 from .physics.init_cond import InitCond
 from .physics.model import Model
+from .physics.photoi import Photoionization
 from .physics.refine import RefineSettings, RefineCriterion
 from .physics.streamer import (Registry, StreamerSettings,
                                bc_species_neumann_zero,
@@ -102,13 +103,10 @@ class Simulation:
             self.fc_flux.append(reg.add_fc(f"flux_{simple}"))
         self.fc_E = reg.add_fc("electric_fld")
 
-        # ---- tree + batch
+        # ---- tree (the batch is created after all variables are known)
         self.tree = Tree(ndim, self.st.box_size, self.st.domain_len,
                          self.st.coarse_grid_size, periodic=self.st.periodic,
                          coord=self.st.coord, r_min=self.st.domain_origin)
-        self.batch = BoxBatch(self.tree, reg.n_cc, reg.n_fc)
-        self.cc = np.array(self.batch.cc)  # host (NumPy) state by default
-        self.fc = np.array(self.batch.fc)
 
         # ---- species BCs and methods
         if self.st.species_boundary_condition == "neumann_zero":
@@ -133,6 +131,23 @@ class Simulation:
         reg.set_cc_methods(self.i_electric_fld, bc_species_neumann_zero,
                            rb=gc.RB_INTERP, prolong="linear")
 
+        # ---- photoionization (registers i_photo and helmholtz modes)
+        self.photoi = Photoionization(cfg, self.tree, reg, self.gas, self.td,
+                                      self.chem, self.st, self.i_rhs,
+                                      self.i_tmp, self.i_electron,
+                                      self.i_electric_fld)
+        if self.photoi.enabled:
+            self.photoi.species_cc = self.species_cc[
+                self.photoi.species_index - ngas]
+            if self.photoi.source_type == "from_species":
+                exc_ix = self.chem.species_index(self.photoi.excited_species)
+                self.photoi.i_excited_cc = self.species_cc[exc_ix - ngas]
+
+        # ---- storage (all cc/fc variables registered by now)
+        self.batch = BoxBatch(self.tree, reg.n_cc, reg.n_fc)
+        self.cc = np.array(self.batch.cc)  # host (NumPy) state by default
+        self.fc = np.array(self.batch.fc)
+
         # ---- initial conditions, refinement, output
         self.init_cond = InitCond(cfg, self.st, reg, self.i_electron,
                                   self.i_1pos_ion)
@@ -147,7 +162,10 @@ class Simulation:
             i_electric_fld=self.i_electric_fld, fc_E=self.fc_E,
             flux_species=self.flux_species, flux_fc=self.fc_flux,
             flux_charge_sign=np.asarray(self.flux_charge_sign, np.float64),
-            all_densities=self.all_densities, species_cc=self.species_cc)
+            all_densities=self.all_densities, species_cc=self.species_cc,
+            i_photo=self.photoi.i_photo if self.photoi.enabled else -1,
+            photoi_species_cc=(self.photoi.species_cc
+                               if self.photoi.enabled else -1))
         self.fluid = FluidModel(
             self.tree, idx, self.chem, self.td, self.gas, self.bc_species,
             self.dt_cfg, self.st,
@@ -168,6 +186,7 @@ class Simulation:
         self.global_displ_current = 0.0
         self.wc = {k: 0.0 for k in ("flux", "source", "copy", "field",
                                     "output", "refine", "photoi")}
+        self._photoi_prev_time = 0.0
 
         self.setup_initial_conditions()
 
@@ -334,6 +353,16 @@ class Simulation:
             if write_out:
                 dt = max(0.0, time_last_output + current_output_dt - time)
 
+            # photoionization update (streamer.f90:236-242)
+            if self.photoi.enabled and \
+                    self.it % self.photoi.per_steps == 0:
+                t1 = _time.time()
+                self.cc = self.photoi.set_src(
+                    self.cc, time - self._photoi_prev_time,
+                    {"voltage": self.field.current_voltage})
+                self._photoi_prev_time = time
+                self.wc["photoi"] += _time.time() - t1
+
             # --- attempt loop with state copy/rejection (streamer.f90:251-288)
             dt_lim = uc.huge_real
             step_accepted = False
@@ -420,6 +449,11 @@ class Simulation:
                 if info.n_add > 0 or info.n_rm > 0:
                     self.cc, self.fc = self.field.compute(
                         self.cc, self.fc, 0, time, True)
+                    if self.photoi.enabled:
+                        self.cc = self.photoi.set_src(
+                            self.cc, time - self._photoi_prev_time,
+                            {"voltage": self.field.current_voltage})
+                        self._photoi_prev_time = time
             self.wc["refine"] += _time.time() - t1
 
         self.output.status(self, _time.time() - t_start)

@@ -1,0 +1,255 @@
+"""Photoionization: Zheleznyak source + Helmholtz-approximation solver.
+
+Re-implements the reference's ``src/m_photoi.f90`` (method switch, quench
+factor p_q/(p+p_q), source = eta * quench * ionization rate,
+photoionization_rate_from_alpha ``:233-265``, excited-species decay source
+``:268-286``) and ``src/m_photoi_helmh.f90`` (multi-mode Helmholtz
+nabla^2 phi_i - lambda_i^2 phi_i = f with Luque / Bourdon-2 / Bourdon-3 /
+custom coefficient sets scaled by p*O2-fraction ``:80-139``; each mode
+reuses the geometric multigrid with helmholtz_lambda = lambda_i^2 and runs
+FMG cycles until the relative residual is below 1e-2 ``:162-204``).
+
+The Monte-Carlo method lives in photoi_mc.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as uc
+from ..core import spatial as sp
+from ..core import ghostcell as gc
+from ..core import reductions as red
+from ..solvers.multigrid import Multigrid
+from .transport_data import TD_ALPHA, TD_MOBILITY
+
+
+def _xp(a):
+    return np if isinstance(a, np.ndarray) else jnp
+
+
+def helmh_bc(iv, d, coords, params, ndim=2):
+    """Dirichlet zero in the last dimension, Neumann zero otherwise
+    (photoi_helmh_bc)."""
+    if d // 2 == ndim - 1:
+        return gc.BC_DIRICHLET, 0.0
+    return gc.BC_NEUMANN, 0.0
+
+
+class Photoionization:
+    def __init__(self, cfg, tree, registry, gas, transport, chemistry,
+                 settings, i_rhs, i_tmp, i_electron, i_electric_fld):
+        self.tree = tree
+        self.gas = gas
+        self.td = transport
+        self.chem = chemistry
+        self.st = settings
+        self.i_rhs, self.i_tmp = i_rhs, i_tmp
+        self.i_electron = i_electron
+        self.i_electric_fld = i_electric_fld
+
+        self.enabled = cfg.add_get("photoi%enabled", False,
+                                   "Whether photoionization is enabled")
+        self.per_steps = cfg.add_get(
+            "photoi%per_steps", 5, "Update photoionization every N time steps")
+        self.method = cfg.add_get(
+            "photoi%method", "helmholtz",
+            "Which photoionization method to use (helmholtz, montecarlo)")
+        self.eta = cfg.add_get(
+            "photoi%eta", 0.05,
+            "Photoionization efficiency factor, typically around 0.05-0.1")
+        self.quenching_pressure = cfg.add_get(
+            "photoi%quenching_pressure", 40e-3,
+            "Photoionization quenching pressure (bar)")
+        self.source_type = cfg.add_get(
+            "photoi%source_type", "Zheleznyak",
+            "How to compute the photoi. source (Zheleznyak, from_species)")
+        self.excited_species = cfg.add_get(
+            "photoi%excited_species", "UNDEFINED",
+            "Which excited species to use when source_type = from_species")
+        self.species = cfg.add_get(
+            "photoi%species", "O2_plus",
+            "Which species is ionized by photoionization")
+        self.photoemission_time = cfg.add_get(
+            "photoi%photoemission_time", 0.0,
+            "Photoemission time delay for source_type = from_species")
+
+        self.author = cfg.add_get(
+            "photoi_helmh%author", "Bourdon-3",
+            "Can be Bourdon-3 (default), Bourdon-2, Luque or custom")
+        lam = cfg.add_get("photoi_helmh%lambdas", [],
+                          "Lambdas to use in Helmholtz eq; unit 1/(m bar)",
+                          dynamic=True)
+        co = cfg.add_get("photoi_helmh%coeffs", [],
+                         "Weights corresponding to the lambdas; "
+                         "unit 1/(m bar)^2", dynamic=True)
+        self.max_rel_residual = cfg.add_get(
+            "photoi_helmh%max_rel_residual", 1.0e-2,
+            "Maximum residual for Helmholtz solver, relative to max(|rhs|)")
+
+        self.i_photo = -1
+        self.species_cc = -1
+        self.i_excited_cc = -1
+        if not self.enabled:
+            return
+        if not (0.0 < self.eta <= 1.0):
+            raise ValueError("photoi%eta out of range")
+
+        six = chemistry.species_index(self.species)
+        if six < 0:
+            raise ValueError(f"photoi%species not present: {self.species}")
+        self.species_index = six
+
+        self.i_photo = registry.add_cc("photo")
+        registry.set_cc_methods(
+            self.i_photo,
+            lambda iv, d, c, p: helmh_bc(iv, d, c, p, tree.ndim),
+            rb=gc.RB_INTERP, prolong="linear")
+
+        # Helmholtz coefficient sets (photoi_helmh_initialize :80-139)
+        ix = gas.index("O2")
+        frac_O2 = gas.fractions[ix] if ix >= 0 else 0.0
+        p = gas.pressure
+        if self.author == "Luque":
+            if frac_O2 <= 0:
+                raise ValueError("Photoionization: no oxygen present")
+            lambdas = np.array([4425.38, 750.06]) * (frac_O2 / 0.2) * p
+            coeffs = np.array([337557.38, 19972.14]) * ((frac_O2 / 0.2) * p)**2
+            if abs(self.eta - 1.0) > 0:
+                raise ValueError("With Luque photoionization, photoi%eta "
+                                 "should be 1.0")
+        elif self.author == "Bourdon-2":
+            if frac_O2 <= 0:
+                raise ValueError("Photoionization: no oxygen present")
+            lambdas = np.array([7305.62, 44081.25]) * frac_O2 * p
+            coeffs = np.array([11814508.38, 998607256.0]) * (frac_O2 * p)**2
+        elif self.author == "Bourdon-3":
+            if frac_O2 <= 0:
+                raise ValueError("Photoionization: no oxygen present")
+            lambdas = np.array([4147.85, 10950.93, 66755.67]) * frac_O2 * p
+            coeffs = np.array([1117314.935, 28692377.5, 2748842283.0]) \
+                * (frac_O2 * p)**2
+        elif self.author == "custom":
+            lambdas = np.array([float(x) for x in lam]) * p
+            coeffs = np.array([float(x) for x in co]) * p**2
+            if len(lambdas) < 1:
+                raise ValueError("Custom photoionization lambdas missing")
+        else:
+            raise ValueError(f"Unknown photoi_helmh author {self.author}")
+        self.lambdas = lambdas
+        self.coeffs = coeffs
+        self.n_modes = len(lambdas)
+
+        # one multigrid solver + mode variable per lambda
+        self.i_modes = []
+        self.mgs: List[Multigrid] = []
+        for n in range(self.n_modes):
+            iv = registry.add_cc(f"helmh_{n+1}", write_out=False)
+            registry.set_cc_methods(
+                iv, lambda i, d, c, pp: helmh_bc(i, d, c, pp, tree.ndim),
+                rb=gc.RB_MG, prolong="linear")
+            self.i_modes.append(iv)
+            self.mgs.append(Multigrid(
+                tree, iv, i_rhs, i_tmp,
+                lambda i, d, c, pp: helmh_bc(i, d, c, pp, tree.ndim),
+                helmholtz_lambda=float(lambdas[n] ** 2)))
+
+    # ------------------------------------------------------------ source
+    def set_src(self, cc, dt: Optional[float] = None, params=None):
+        """photoi_set_src (``m_photoi.f90:140-187``)."""
+        if not self.enabled:
+            return cc
+        t = self.tree
+        xp = _xp(cc)
+        nc, ndim = t.nc, t.ndim
+        quench_fac = (self.quenching_pressure
+                      / (self.gas.pressure + self.quenching_pressure))
+        interior = sp.interior_flat(ndim, nc)
+        params = params or {}
+
+        if self.source_type == "Zheleznyak":
+            coeff = self.eta * quench_fac
+            for lvl in range(1, t.highest_lvl + 1):
+                leaves = np.asarray(t.lvl_leaves[lvl - 1])
+                if len(leaves) == 0:
+                    continue
+                fld = cc[self.i_electric_fld, leaves[:, None],
+                         interior[None, :]]
+                td_ = fld * uc.SI_to_Townsend * self.gas.inverse_number_density
+                alpha = self.td.tbl.get_col(TD_ALPHA, td_)
+                mob = self.td.tbl.get_col(TD_MOBILITY, td_)
+                ne = cc[self.i_electron, leaves[:, None], interior[None, :]]
+                src = xp.maximum(fld * mob * alpha * ne * coeff, 0.0)
+                if isinstance(cc, np.ndarray):
+                    cc[self.i_rhs, leaves[:, None], interior[None, :]] = src
+                else:
+                    cc = cc.at[self.i_rhs, jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].set(src)
+        elif self.source_type == "from_species":
+            eff = self.photoemission_time
+            decay_fraction = 1.0 - np.exp(-dt / eff)
+            decay_rate = (decay_fraction / dt if dt > 1e-6 * eff
+                          else 1.0 / eff)
+            i_exc = self.i_excited_cc
+            for lvl in range(1, t.highest_lvl + 1):
+                leaves = np.asarray(t.lvl_leaves[lvl - 1])
+                if len(leaves) == 0:
+                    continue
+                exc = cc[i_exc, leaves[:, None], interior[None, :]]
+                src = quench_fac * decay_rate * exc
+                if isinstance(cc, np.ndarray):
+                    cc[self.i_rhs, leaves[:, None], interior[None, :]] = src
+                    cc[i_exc, leaves[:, None], interior[None, :]] = \
+                        (1 - decay_fraction) * exc
+                else:
+                    cc = cc.at[self.i_rhs, jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].set(src)
+                    cc = cc.at[i_exc, jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].set(
+                                   (1 - decay_fraction) * exc)
+        else:
+            raise ValueError("Unknown photoi%source_type")
+
+        if self.method == "helmholtz":
+            cc = self._helmh_compute(cc, params)
+        else:
+            from .photoi_mc import phmc_set_src
+            cc = phmc_set_src(self, cc, dt, params)
+        return cc
+
+    def _helmh_compute(self, cc, params):
+        """photoi_helmh_compute (``m_photoi_helmh.f90:162-204``)."""
+        t = self.tree
+        allids = np.concatenate([np.asarray(i) for i in t.lvl_ids])
+        if isinstance(cc, np.ndarray):
+            cc[self.i_photo, allids] = 0.0
+        else:
+            cc = cc.at[self.i_photo, jnp.asarray(allids)].set(0.0)
+        max_rhs = max(red.tree_maxabs_cc(cc, t, self.i_rhs)
+                      if isinstance(cc, np.ndarray) else 1.0,
+                      np.sqrt(np.finfo(np.float64).eps))
+        for n in range(self.n_modes):
+            mg = self.mgs[n]
+            if isinstance(cc, np.ndarray):
+                for _ in range(10):
+                    cc = mg.fas_fmg(cc, params, set_residual=True,
+                                    have_guess=True)
+                    residu = float(mg.max_abs_residual(cc))
+                    if residu / max_rhs < self.max_rel_residual:
+                        break
+            else:
+                # fixed two FMG cycles in traced mode
+                for _ in range(2):
+                    cc = mg.fas_fmg(cc, params, have_guess=True)
+            # photo -= c_n * phi_n on leaves (incl. ghost cells)
+            leaves = np.concatenate([np.asarray(l) for l in t.lvl_leaves])
+            upd = cc[self.i_photo, leaves] - self.coeffs[n] * \
+                cc[self.i_modes[n], leaves]
+            if isinstance(cc, np.ndarray):
+                cc[self.i_photo, leaves] = upd
+            else:
+                cc = cc.at[self.i_photo, jnp.asarray(leaves)].set(upd)
+        return cc
