@@ -89,6 +89,7 @@ class Simulation:
         self.i_electric_fld = reg.add_cc("electric_fld")
         self.i_rhs = reg.add_cc("rhs")
         self.i_tmp = reg.add_cc("tmp", write_out=False)
+        self.i_lsf = reg.add_cc("lsf") if self.st.use_electrode else -1
 
         # face-centered variables
         self.fc_flux: List[int] = [reg.add_fc("flux_elec")]
@@ -153,7 +154,8 @@ class Simulation:
                                   self.i_1pos_ion)
         self.refiner = RefineCriterion(self.refine_cfg, self.tree, self.td,
                                        self.gas, self.init_cond,
-                                       self.i_electric_fld, self.i_electron)
+                                       self.i_electric_fld, self.i_electron,
+                                       lsf_data=self.field.lsf_data)
         self.output = Output(cfg, self.st, reg)
 
         # ---- fluid model
@@ -171,6 +173,10 @@ class Simulation:
             self.dt_cfg, self.st,
             prolong_limiter=pr.default_prolong_limiter(ndim))
         self.fluid.field_compute = self._field_compute_cb
+        if (self.st.use_electrode or self.st.use_dielectric
+                or self.st.plasma_region_enabled):
+            self.fluid.mask_provider = self._level_mask
+        self._mask_cache = {}
 
         # runtime state
         self.it = 0
@@ -187,12 +193,105 @@ class Simulation:
         self.wc = {k: 0.0 for k in ("flux", "source", "copy", "field",
                                     "output", "refine", "photoi")}
         self._photoi_prev_time = 0.0
+        self.refine_prepulse_time = cfg.add_get(
+            "refine_prepulse_time", 1.0e-9,
+            "Start refining electrode some time before the next pulse")
+        self.electrode_derefine_factor = cfg.add_get(
+            "electrode_derefine_factor", 1.0,
+            "Multiplication factor to derefine electrode during interpulse")
+        self.refiner.current_electrode_dx = self.refine_cfg.electrode_dx
 
         self.setup_initial_conditions()
 
     # ------------------------------------------------------------ helpers
     def _field_compute_cb(self, cc, fc, s_in, time, have_guess, params):
         return self.field.compute(cc, fc, s_in, time, have_guess, params)
+
+    def _fill_lsf(self, ids):
+        """Evaluate the level-set function on boxes (funcval variable,
+        set_lsf_box in m_field.f90): all cells incl. one ghost layer."""
+        if self.i_lsf < 0 or self.field.lsf_data is None:
+            return
+        for b in ids:
+            coords = self.tree.cell_coords(int(b))
+            self.cc[self.i_lsf, int(b)] = self.field.lsf_data.lsf(
+                coords.reshape(-1, self.ndim))
+
+    def _level_mask(self, lvl):
+        """Cell mask for the fluid update (set_box_mask)."""
+        key = (self.tree.epoch, lvl)
+        if key in self._mask_cache:
+            return self._mask_cache[key]
+        self._mask_cache = {k: v for k, v in self._mask_cache.items()
+                            if k[0] == self.tree.epoch}
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        leaves = np.asarray(t.lvl_leaves[lvl - 1])
+        C = nc ** ndim
+        mask = np.ones((len(leaves), C), dtype=bool)
+        if self.st.use_electrode and self.field.lsf_data is not None:
+            data = self.field.lsf_data.level_data(lvl)
+            lookup = {int(b): i for i, b in enumerate(data["ids"])}
+            pos = np.array([lookup[int(b)] for b in leaves], np.int64)
+            mask &= data["lsf_cc"][pos] > 0.0
+        if self.st.plasma_region_enabled:
+            for n_i, b in enumerate(leaves):
+                coords = t.cell_coords(int(b))[
+                    (slice(1, nc + 1),) * ndim].reshape(-1, ndim)
+                inside = np.all((coords >= self.st.plasma_region_rmin)
+                                & (coords <= self.st.plasma_region_rmax),
+                                axis=-1)
+                mask[n_i] &= inside
+        self._mask_cache[key] = mask
+        return mask
+
+    def _set_electrode_densities(self):
+        """Species boundary conditions at the electrode
+        (electrode_species_bc, streamer.f90:520-569): zero densities inside,
+        and for Neumann species BCs set the electron density in boundary
+        cells to the average of the neighbors outside the electrode."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        from .core import spatial as spx
+        interior = spx.interior_flat(ndim, nc)
+        neumann = self.st.species_boundary_condition == "neumann_zero"
+        for lvl in range(1, t.highest_lvl + 1):
+            data = self.field.lsf_data.level_data(lvl)
+            sel = np.nonzero(data["has_bnd"])[0]
+            if len(sel) == 0:
+                continue
+            boxes = data["ids"][sel]
+            n = len(boxes)
+            shape = (n,) + (nc + 2,) * ndim
+            lsf_b = self.cc[self.i_lsf, boxes].reshape(shape)
+            itr = (slice(None),) + (slice(1, nc + 1),) * ndim
+            inside = lsf_b[itr] < 0
+            for iv in self.all_densities:
+                vals = self.cc[iv, boxes[:, None], interior[None, :]]
+                vals = np.where(inside.reshape(n, -1), 0.0, vals)
+                self.cc[iv, boxes[:, None], interior[None, :]] = vals
+            if neumann:
+                ne = self.cc[self.i_electron, boxes].reshape(shape)
+                num = 0.0
+                den = 0.0
+                for d in range(ndim):
+                    for delta in (-1, 1):
+                        sl = [slice(1, nc + 1)] * ndim
+                        sl[d] = slice(1 + delta, nc + 1 + delta)
+                        sl = (slice(None),) + tuple(sl)
+                        out_nb = lsf_b[sl] > 0
+                        num = num + np.where(out_nb, ne[sl], 0.0)
+                        den = den + out_nb
+                at_bnd = inside & (den > 0)
+                avg = num / np.maximum(den, 1)
+                ne_new = np.where(at_bnd, avg, ne[itr]).reshape(n, -1)
+                self.cc[self.i_electron, boxes[:, None],
+                        interior[None, :]] = ne_new
+                ni = self.cc[self.i_1pos_ion, boxes[:, None],
+                             interior[None, :]]
+                self.cc[self.i_1pos_ion, boxes[:, None],
+                        interior[None, :]] = np.where(
+                            at_bnd.reshape(n, -1), ne_new, ni)
 
     def gc_tree(self, ivs, rb, bc_fn, params=None):
         for lvl in range(1, self.tree.highest_lvl + 1):
@@ -231,9 +330,11 @@ class Simulation:
                 fcn = np.zeros(fshape)
                 fcn[:, :, :self.fc.shape[2]] = self.fc
                 self.fc = fcn
-        # prolong data into new boxes, per level (auto_prolong)
+        # prolong data into new boxes, per level (auto_prolong); funcval
+        # variables (the level-set function) are evaluated directly
         for lvl in sorted(info.added_per_lvl):
             ids = info.added_per_lvl[lvl]
+            self._fill_lsf(ids)
             plan = pr.ProlongRestrictPlan(self.tree, ids)
             for iv in self.registry.auto_vars:
                 m = self.registry.methods[iv]
@@ -258,7 +359,9 @@ class Simulation:
         t.refine_up_to_lvl(lvl)
         self._sync_capacity()
         allids = np.concatenate([np.asarray(i) for i in t.lvl_ids])
+        self._fill_lsf(allids)
         self.cc = self.init_cond.apply(self.cc, t, allids)
+        self._zero_inside_electrode(allids)
 
         for n in range(100):
             self.cc, self.fc = self.field.compute(
@@ -267,10 +370,23 @@ class Simulation:
             if info.n_add:
                 self._sync_capacity()
                 new = np.asarray(info.added, np.int64)
+                self._fill_lsf(new)
                 self.cc = self.init_cond.apply(self.cc, self.tree, new)
+                self._zero_inside_electrode(new)
             if info.n_add == 0:
                 break
         self.output_write(0)
+
+    def _zero_inside_electrode(self, ids):
+        """Zero all densities where lsf <= 0 (init_cond_set_box,
+        m_init_cond.f90:283-287)."""
+        if self.i_lsf < 0:
+            return
+        ids = np.asarray(ids)
+        lsf = self.cc[self.i_lsf, ids]
+        inside = lsf <= 0.0
+        for iv in self.all_densities:
+            self.cc[iv, ids] = np.where(inside, 0.0, self.cc[iv, ids])
 
     def _sync_capacity(self):
         need = self.tree.highest_id
@@ -342,16 +458,31 @@ class Simulation:
                 self.output.status(self, wc_time)
                 time_last_print = wc_time
 
-            current_output_dt = self.output.dt
-            if abs(self.field.current_voltage) == 0.0 and \
-                    self.field.set_voltage(time) == 0.0 and \
-                    self.output.dt_factor_pulse_off != 1:
+            # pulse-train bookkeeping (streamer.f90:216-234)
+            time_until_next_pulse = (self.field.field_pulse_period
+                                     - np.mod(time,
+                                              self.field.field_pulse_period))
+            self.field.set_voltage(time)
+            if (abs(self.field.current_voltage) > 0.0
+                    or time_until_next_pulse < self.refine_prepulse_time):
+                current_output_dt = self.output.dt
+                self.refiner.current_electrode_dx = \
+                    self.refine_cfg.electrode_dx
+            else:
                 current_output_dt = (self.output.dt
                                      * self.output.dt_factor_pulse_off)
+                self.refiner.current_electrode_dx = (
+                    self.electrode_derefine_factor
+                    * self.refine_cfg.electrode_dx)
 
             write_out = (time + dt >= time_last_output + current_output_dt)
             if write_out:
                 dt = max(0.0, time_last_output + current_output_dt - time)
+
+            # make sure to capture the start of the next pulse
+            start_of_new_pulse = dt >= time_until_next_pulse
+            if start_of_new_pulse:
+                dt = max(time_until_next_pulse, self.dt_cfg.dt_min)
 
             # photoionization update (streamer.f90:236-242)
             if self.photoi.enabled and \
@@ -362,6 +493,9 @@ class Simulation:
                     {"voltage": self.field.current_voltage})
                 self._photoi_prev_time = time
                 self.wc["photoi"] += _time.time() - t1
+
+            if self.st.use_electrode:
+                self._set_electrode_densities()
 
             # --- attempt loop with state copy/rejection (streamer.f90:251-288)
             dt_lim = uc.huge_real
@@ -426,6 +560,9 @@ class Simulation:
                 tmp = 1.0
             dt = min(tmp * self.global_dt,
                      self.dt_cfg.safety_factor * dt_lim)
+            if start_of_new_pulse:
+                # start a new pulse with a small time step (streamer.f90:345-351)
+                dt = self.dt_cfg.dt_min
             self.global_dt = dt
             self.global_time = time
             self.dt_limits = np.array([dt_lim, 0.0, 0.0, 0.0])

@@ -22,6 +22,8 @@ from .. import constants as uc
 from ..core import spatial as sp
 from ..core import ghostcell as gc
 from ..solvers.multigrid import Multigrid, blocks, scatter_interior
+from ..solvers.lsf import LsfData
+from ..utils import geometry
 from ..utils.lookup_table import lin_interp_list
 from ..utils.table_data import table_from_file
 
@@ -94,8 +96,80 @@ class FieldSolver:
         self.current_voltage = 0.0
         self.user_potential_bc = None
 
+        # ------------------------------------------- electrode geometry
+        # (field_initialize electrode settings, m_field.f90:197-345)
+        self.lsf_data = None
+        self.i_lsf = -1
+        self.electrode_grounded = cfg.add_get(
+            "field_electrode_grounded", False,
+            "Whether electrode 1 is grounded or at the applied voltage")
+        self.electrode2_grounded = cfg.add_get(
+            "field_electrode2_grounded", False,
+            "Whether electrode 2 is grounded or at the applied voltage")
+        rod_r0 = cfg.add_get("field_rod_r0", [-1.0e100] * ndim,
+                             "Electrode 1: first relative coordinate",
+                             dynamic=True)
+        rod_r1 = cfg.add_get("field_rod_r1", [-1.0e100] * ndim,
+                             "Electrode 1: second relative coordinate",
+                             dynamic=True)
+        rod2_r0 = cfg.add_get("field_rod2_r0", [-1.0e100] * ndim,
+                              "Electrode 2: first relative coordinate",
+                              dynamic=True)
+        rod2_r1 = cfg.add_get("field_rod2_r1", [-1.0e100] * ndim,
+                              "Electrode 2: second relative coordinate",
+                              dynamic=True)
+        self.rod_radius = cfg.add_get("field_rod_radius", -1.0e100,
+                                      "Electrode 1 radius (in m)")
+        self.rod2_radius = cfg.add_get("field_rod2_radius", -1.0e100,
+                                       "Electrode 2 radius (in m)")
+        self.electrode_type = cfg.add_get(
+            "field_electrode_type", "rod",
+            "Type of electrode (sphere, rod, rod_rod, user)")
+        if settings.use_electrode:
+            dl, o = settings.domain_len, settings.domain_origin
+            r0 = o + np.asarray([float(x) for x in rod_r0]) * dl
+            r1 = o + np.asarray([float(x) for x in rod_r1]) * dl
+            r20 = o + np.asarray([float(x) for x in rod2_r0]) * dl
+            r21 = o + np.asarray([float(x) for x in rod2_r1]) * dl
+            rr, rr2 = self.rod_radius, self.rod2_radius
+            et = self.electrode_type
+            if et == "sphere":
+                def lsf_fn(r):
+                    return np.linalg.norm(r - r0, axis=-1) - rr
+            elif et == "rod":
+                def lsf_fn(r):
+                    return geometry.dist_line(r, r0, r1) - rr
+            elif et == "rod_rod":
+                def lsf_fn(r):
+                    return np.minimum(geometry.dist_line(r, r0, r1) - rr,
+                                      geometry.dist_line(r, r20, r21) - rr2)
+            elif et == "user":
+                lsf_fn = None  # wired later via set_user_lsf
+            else:
+                raise ValueError(f"Invalid electrode type {et}")
+            if rr <= 0:
+                raise ValueError(
+                    "set field_rod_radius to the electrode length scale")
+
+            g1 = 0.0 if self.electrode_grounded else 1.0
+            g2 = 0.0 if self.electrode2_grounded else 1.0
+            if et == "rod_rod":
+                def bc_coeff_fn(r):
+                    lsf1 = geometry.dist_line(r, r0, r1) - rr
+                    lsf2 = geometry.dist_line(r, r20, r21) - rr2
+                    return np.where(lsf1 < lsf2, g1, g2)
+            else:
+                def bc_coeff_fn(r):
+                    return np.full(r.shape[:-1], g1)
+            if lsf_fn is not None:
+                self.lsf_data = LsfData(tree, lsf_fn,
+                                        length_scale=rr,
+                                        boundary_coeff_fn=bc_coeff_fn)
+            self._lsf_fn = lsf_fn
+
         # multigrid for phi
-        self.mg = Multigrid(tree, i_phi, i_rhs, i_tmp, self.phi_bc)
+        self.mg = Multigrid(tree, i_phi, i_rhs, i_tmp, self.phi_bc,
+                            lsf_data=self.lsf_data)
 
     # ------------------------------------------------- boundary conditions
     def phi_bc(self, iv, d, coords, params):
@@ -167,6 +241,10 @@ class FieldSolver:
         self.set_voltage(time)
         params = dict(params or {})
         params["voltage"] = self.current_voltage
+        if self.lsf_data is not None:
+            # boundary potential on the electrode; grounded rods have a zero
+            # per-cell coefficient (mg_lsf_boundary_value)
+            params["lsf_phi_b"] = self.current_voltage
 
         leaves = np.concatenate([np.asarray(l) for l in t.lvl_leaves])
         interior = sp.interior_flat(t.ndim, t.nc)
@@ -215,6 +293,8 @@ class FieldSolver:
         """E = -grad phi; cell norm; ghost fill of the norm
         (field_from_potential)."""
         fc = self.mg.compute_phi_gradient(cc, fc, self.fc_E, -1.0)
+        if self.lsf_data is not None:
+            fc = self._lsf_gradient_correction(cc, fc, params)
         cc = self.mg.compute_field_norm(cc, fc, self.fc_E,
                                         self.i_electric_fld)
         # gc for the norm: neumann-zero bc + unlimited interpolation rb
@@ -247,3 +327,71 @@ class FieldSolver:
                 vol = float(np.prod(dr))
             total = total + float(np.sum(np.asarray(Ecc) ** 2 * vol))
         return 0.5 * uc.eps0 * total
+
+
+    def _lsf_gradient_correction(self, cc, fc, params):
+        """Correct E at faces adjacent to the electrode boundary
+        (mg_box_lpllsf_gradient, ``m_af_multigrid.f90:2030-2122``):
+        one-sided gradients over the boundary distance toward the electrode
+        potential, applied on leaf boxes containing the boundary."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        xp = _xp(fc)
+        fac = -1.0
+        phi_b_scalar = params.get("lsf_phi_b", 0.0)
+        interior = sp.interior_flat(ndim, nc)
+        for lvl in range(1, t.highest_lvl + 1):
+            data = self.lsf_data.level_data(lvl)
+            ids = data["ids"]
+            leaf_set = set(int(b) for b in t.lvl_leaves[lvl - 1])
+            sel = np.array([i for i, b in enumerate(ids)
+                            if data["has_bnd"][i] and int(b) in leaf_set],
+                           dtype=np.int64)
+            if len(sel) == 0:
+                continue
+            boxes = ids[sel]
+            n = len(boxes)
+            dr = t.lvl_dr(lvl)
+            cshape = (n,) + (nc,) * ndim
+            dd = data["dd"][sel].reshape(cshape + (2 * ndim,))
+            lsf_cc = data["lsf_cc"][sel].reshape(cshape)
+            bc_val = data["bc_coeff"][sel].reshape(cshape) * phi_b_scalar
+            phi = cc[self.i_phi, boxes[:, None],
+                     interior[None, :]].reshape(cshape)
+            for d in range(ndim):
+                faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
+                         for k in range(ndim)]
+                fidx = sp.fc_flat(ndim, nc, *faxes)
+                fshape = (n,) + tuple(nc + 1 if k == d else nc
+                                      for k in range(ndim))
+                F = fc[self.fc_E, d, boxes[:, None],
+                       fidx[None, :]].reshape(fshape)
+                inv_dr = fac / dr[d]
+                m_lo = (dd[..., 2 * d] < 1) & (lsf_cc >= 0)
+                m_hi = (dd[..., 2 * d + 1] < 1) & (lsf_cc >= 0)
+                v_lo = inv_dr * (phi - bc_val) / xp.maximum(dd[..., 2 * d],
+                                                            1e-100)
+                v_hi = inv_dr * (bc_val - phi) / xp.maximum(
+                    dd[..., 2 * d + 1], 1e-100)
+                lo_slc = tuple(slice(0, nc) if k == d else slice(None)
+                               for k in range(ndim))
+                hi_slc = tuple(slice(1, nc + 1) if k == d else slice(None)
+                               for k in range(ndim))
+                if isinstance(fc, np.ndarray):
+                    Fl = F[(slice(None),) + lo_slc]
+                    F[(slice(None),) + lo_slc] = np.where(m_lo, v_lo, Fl)
+                    Fh = F[(slice(None),) + hi_slc]
+                    F[(slice(None),) + hi_slc] = np.where(m_hi, v_hi, Fh)
+                    fc[self.fc_E, d, boxes[:, None], fidx[None, :]] = \
+                        F.reshape(n, -1)
+                else:
+                    Fl = F[(slice(None),) + lo_slc]
+                    F = F.at[(slice(None),) + lo_slc].set(
+                        xp.where(m_lo, v_lo, Fl))
+                    Fh = F[(slice(None),) + hi_slc]
+                    F = F.at[(slice(None),) + hi_slc].set(
+                        xp.where(m_hi, v_hi, Fh))
+                    fc = fc.at[self.fc_E, d, jnp.asarray(boxes)[:, None],
+                               jnp.asarray(fidx)[None, :]].set(
+                                   F.reshape(n, -1))
+        return fc

@@ -356,6 +356,7 @@ class FluidModel:
         self.prolong_limiter = prolong_limiter
         self.limiter = limiter
         self.field_compute = None  # wired by the simulation (m_field)
+        self.mask_provider = None  # callable(lvl) -> bool mask [n_leaves, C]
         self.last_diag = {}
 
     # -------------------------------------------------------- flux kernel
@@ -664,12 +665,21 @@ class FluidModel:
             n = len(leaves)
             dr = t.lvl_dr(lvl)
 
+            # cell mask (set_box_mask, m_fluid.f90:469-515): no update
+            # inside electrodes / dielectrics / outside the plasma region
+            mask = None
+            if self.mask_provider is not None:
+                mask = self.mask_provider(lvl)
+
             # weighted sum of previous states for ALL densities
             for iv in idx.all_densities:
                 acc = 0.0
                 for s, w in zip(s_prev, w_prev):
                     acc = acc + w * cc[iv + s, leaves[:, None],
                                        interior[None, :]]
+                if mask is not None:
+                    old = cc[iv + s_out, leaves[:, None], interior[None, :]]
+                    acc = xp.where(mask, acc, old)
                 if isinstance(cc, np.ndarray):
                     cc[iv + s_out, leaves[:, None], interior[None, :]] = acc
                 else:
@@ -729,6 +739,8 @@ class FluidModel:
             # apply source terms
             for spi, s_cc in enumerate(idx.species_cc):
                 upd = dt * derivs[:, :, spi]
+                if mask is not None:
+                    upd = xp.where(mask, upd, 0.0)
                 if isinstance(cc, np.ndarray):
                     cc[s_cc + s_out, leaves[:, None], interior[None, :]] += upd
                 else:
@@ -765,6 +777,8 @@ class FluidModel:
                         F_hi = F_hi * rfac[1].reshape(shape)
                     div = div + (F_lo - F_hi) / dr[d]
                 upd = dt * div.reshape(n, -1)
+                if mask is not None:
+                    upd = xp.where(mask, upd, 0.0)
                 if isinstance(cc, np.ndarray):
                     cc[iv + s_out, leaves[:, None], interior[None, :]] += upd
                 else:

@@ -90,7 +90,8 @@ class RefineSettings:
 
 class RefineCriterion:
     def __init__(self, settings: RefineSettings, tree, transport, gas,
-                 init_cond, i_electric_fld: int, i_electron: int):
+                 init_cond, i_electric_fld: int, i_electron: int,
+                 lsf_data=None):
         self.rs = settings
         self.tree = tree
         self.td = transport
@@ -98,6 +99,8 @@ class RefineCriterion:
         self.ic = init_cond
         self.i_electric_fld = i_electric_fld
         self.i_electron = i_electron
+        self.lsf_data = lsf_data
+        self.current_electrode_dx = settings.electrode_dx
         self.time = 0.0
 
     def cell_flags(self, cc, ids) -> np.ndarray:
@@ -150,6 +153,13 @@ class RefineCriterion:
                         self.ic.seed_r1[s]).reshape((nc,) * ndim)
                     flags[n_i] = np.where(
                         dist - w < 2 * max_dx[n_i], DO_REF, flags[n_i])
+
+        # refine around the electrode (m_refine.f90:262-265)
+        if self.lsf_data is not None:
+            has_bnd = self.lsf_data.box_has_boundary(ids)
+            for n_i in range(n):
+                if has_bnd[n_i] and max_dx[n_i] > self.current_electrode_dx:
+                    flags[n_i] = DO_REF
 
         # fixed refinement regions / limits (m_refine.f90:268-289)
         for n_i, b in enumerate(ids):

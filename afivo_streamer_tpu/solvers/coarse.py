@@ -8,15 +8,17 @@ a dense matrix with the boundary conditions eliminated, and solved by a
 precomputed inverse: on TPU the solve is then a single matrix-vector product
 on the MXU, fully fused into the V-cycle.
 
-Boundary eliminations mirror bc_to_gc (``m_af_ghostcell.f90:176-213``) and
-the rhs boundary mapping of hypre_set_matrix / bc_to_rhs
-(``m_coarse_solver.f90:104-194``).
+Supports constant Laplacian/Helmholtz operators (with cylindrical radial
+factors) and per-cell variable stencils (level-set electrodes), whose
+eliminated internal-boundary couplings contribute a voltage-proportional
+right-hand-side correction (mirroring hypre_set_matrix / bc_to_rhs,
+``m_coarse_solver.f90:104-194``).
 """
 
 from __future__ import annotations
 
 import itertools
-from typing import Callable, List
+from typing import Callable, List, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -31,7 +33,7 @@ _MAX_DENSE = 32768  # beyond this a dense inverse is unreasonable
 
 class CoarseSolver:
     def __init__(self, tree: Tree, sides_bc: Callable, lam: float = 0.0,
-                 i_probe_var: int = 0):
+                 i_probe_var: int = 0, level1_op=None):
         self.tree = tree
         self.sides_bc = sides_bc
         ndim, nc = tree.ndim, tree.nc
@@ -45,49 +47,82 @@ class CoarseSolver:
         dr = tree.dr_base
         inv_dr2 = 1.0 / dr**2
 
+        # gather map: rows of each level-1 box's interior cells
+        ids1 = np.asarray(tree.lvl_ids[0])
+        self.ids1 = ids1
+        rows_map = np.zeros((len(ids1), nc**ndim), np.int64)
+        interior = sp.interior_flat(ndim, nc)
+        self.interior_sidx = interior
+        cell_local = np.stack(np.meshgrid(*[np.arange(nc)] * ndim,
+                                          indexing="ij"), -1).reshape(-1, ndim)
+        for n, b in enumerate(ids1):
+            base = tree.ix[b] * nc
+            g = cell_local + base
+            rows_map[n] = np.ravel_multi_index(
+                [g[:, k] for k in range(ndim)], self.shape)
+        self.rows_map = rows_map
+
+        # global per-cell coefficients
+        C0 = np.zeros(N)
+        CNb = [np.zeros(N) for _ in range(2 * ndim)]
+        F = np.zeros(N)
+        BCC = np.ones(N)
+        if level1_op is not None:
+            rows = rows_map.ravel()
+            C0[rows] = np.broadcast_to(
+                np.asarray(level1_op.c0).reshape(len(ids1), -1)
+                if np.ndim(level1_op.c0) else
+                np.full((len(ids1), nc**ndim), level1_op.c0),
+                (len(ids1), nc**ndim)).ravel()
+            for d in range(2 * ndim):
+                c = level1_op.c_nb[d]
+                CNb[d][rows] = np.broadcast_to(
+                    np.asarray(c).reshape(len(ids1), -1) if np.ndim(c)
+                    else np.full((len(ids1), nc**ndim), c),
+                    (len(ids1), nc**ndim)).ravel()
+            if level1_op.f is not None:
+                F[rows] = level1_op.f.reshape(len(ids1), -1).ravel()
+                BCC[rows] = level1_op.bc_coeff.reshape(len(ids1), -1).ravel()
+        else:
+            for idx in itertools.product(*[range(s) for s in self.shape]):
+                r = int(np.ravel_multi_index(idx, self.shape))
+                cs = [inv_dr2[d // 2] for d in range(2 * ndim)]
+                if tree.coord == "cyl":
+                    rr = tree.r_base[0] + (idx[0] + 0.5) * dr[0]
+                    cs[0] *= (rr - 0.5 * dr[0]) / rr
+                    cs[1] *= (rr + 0.5 * dr[0]) / rr
+                C0[r] = -float(np.sum(cs)) - lam
+                for d in range(2 * ndim):
+                    CNb[d][r] = cs[d]
+        self.F = F
+        self.BCC = BCC
+
         def row(idx):
             return int(np.ravel_multi_index(idx, self.shape))
 
         A = np.zeros((N, N))
-        # per-direction boundary handling for the rhs: (rows, coeff) where
-        # rhs -= coeff * bc_value
         self.bc_rows: List[np.ndarray] = []
         self.bc_coeff: List[np.ndarray] = []
         self.bc_types: List[int] = []
         self.bc_coords: List[np.ndarray] = []
 
-        # neighbor coupling coefficients (incl. cylindrical radial factors)
-        def couplings(idx):
-            cs = [inv_dr2[d // 2] for d in range(2 * ndim)]
-            if tree.coord == "cyl":
-                r = tree.r_base[0] + (idx[0] + 0.5) * dr[0]
-                cs[0] *= (r - 0.5 * dr[0]) / r
-                cs[1] *= (r + 0.5 * dr[0]) / r
-            c0 = -2.0 * float(np.sum(inv_dr2)) - lam
-            if tree.coord == "cyl":
-                c0 = (-2.0 * float(np.sum(inv_dr2)) - lam
-                      - (cs[0] - inv_dr2[0]) - (cs[1] - inv_dr2[1]))
-            return c0, cs
-
-        # probe boundary types once per direction
         probe_params = {"voltage": 0.0}
         bdry_cells: List[List] = [[] for _ in range(2 * ndim)]
         for idx in itertools.product(*[range(s) for s in self.shape]):
             r = row(idx)
-            c0, cs = couplings(idx)
-            A[r, r] += c0
+            A[r, r] += C0[r]
             for d in range(2 * ndim):
                 dim = d // 2
                 step = -1 if d % 2 == 0 else 1
                 nb = list(idx)
                 nb[dim] += step
                 if 0 <= nb[dim] < self.shape[dim]:
-                    A[r, row(nb)] += cs[d]
+                    A[r, row(nb)] += CNb[d][r]
                 elif tree.periodic[dim]:
                     nb[dim] %= self.shape[dim]
-                    A[r, row(nb)] += cs[d]
+                    A[r, row(nb)] += CNb[d][r]
                 else:
-                    bdry_cells[d].append((idx, r, cs[d]))
+                    bdry_cells[d].append((idx, r, CNb[d][r]))
 
         for d in range(2 * ndim):
             if not bdry_cells[d]:
@@ -109,18 +144,15 @@ class CoarseSolver:
             rows = np.array([r for _, r, _ in bdry_cells[d]], dtype=np.int64)
             cgs_ = np.array([cg for _, _, cg in bdry_cells[d]])
             if bc_type == BC_DIRICHLET:
-                # ghost = 2 b - x1
                 A[rows, rows] += -cgs_
                 coeff = 2.0 * cgs_
             elif bc_type == BC_NEUMANN:
-                # ghost = x1 + sign * dr * b
                 A[rows, rows] += cgs_
                 sign = 1.0 if not low else -1.0
                 coeff = sign * dr[dim] * cgs_
             elif bc_type == BC_DIRICHLET_COPY:
                 coeff = cgs_
             elif bc_type == BC_CONTINUOUS:
-                # ghost = 2 x1 - x2
                 A[rows, rows] += 2.0 * cgs_
                 x2rows = []
                 for idx, r, cg in bdry_cells[d]:
@@ -139,21 +171,6 @@ class CoarseSolver:
         self.A_inv = np.linalg.inv(A)
         self._A_inv_dev = None
 
-        # gather map: rows of each level-1 box's interior cells
-        ids1 = np.asarray(tree.lvl_ids[0])
-        self.ids1 = ids1
-        rows_map = np.zeros((len(ids1), nc**ndim), np.int64)
-        interior = sp.interior_flat(ndim, nc)
-        self.interior_sidx = interior
-        cell_local = np.stack(np.meshgrid(*[np.arange(nc)] * ndim,
-                                          indexing="ij"), -1).reshape(-1, ndim)
-        for n, b in enumerate(ids1):
-            base = tree.ix[b] * nc
-            g = cell_local + base
-            rows_map[n] = np.ravel_multi_index(
-                [g[:, k] for k in range(ndim)], self.shape)
-        self.rows_map = rows_map
-
     def solve(self, cc, i_phi: int, i_rhs: int, params):
         """Solve the level-1 grid and write phi back into the boxes."""
         xp = np if isinstance(cc, np.ndarray) else jnp
@@ -165,14 +182,19 @@ class CoarseSolver:
         else:
             rhs = rhs.at[jnp.asarray(self.rows_map.ravel())].set(
                 rhs_boxes.ravel())
-        # boundary-value contributions
+        # internal (level-set) boundary contribution: rhs + f * phi_b
+        phi_b = params.get("lsf_phi_b", 0.0)
+        if np.ndim(phi_b) or phi_b != 0.0 or not isinstance(phi_b, float):
+            rhs = rhs + self.F * self.BCC * phi_b
+        # domain-boundary contributions
         for d in range(2 * len(self.tree.dr_base)):
             if len(self.bc_rows[d]) == 0:
                 continue
             _, bval = self.sides_bc(i_phi, d, self.bc_coords[d][None], params)
             contrib = self.bc_coeff[d] * (bval + xp.zeros(len(self.bc_rows[d])))
             if isinstance(cc, np.ndarray):
-                np.subtract.at(rhs, self.bc_rows[d], np.asarray(contrib).ravel())
+                np.subtract.at(rhs, self.bc_rows[d],
+                               np.asarray(contrib).ravel())
             else:
                 rhs = rhs.at[jnp.asarray(self.bc_rows[d])].add(
                     -contrib.ravel())

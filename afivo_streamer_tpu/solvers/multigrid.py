@@ -77,7 +77,7 @@ class LevelOp:
     (mg_box_lpl_stencil, ``m_af_multigrid.f90:1227-1245``); cylindrical
     coordinates scale the radial couplings by the flux factors."""
 
-    def __init__(self, tree: Tree, lvl: int, lam: float):
+    def __init__(self, tree: Tree, lvl: int, lam: float, lsf_data=None):
         ndim, nc = tree.ndim, tree.nc
         dr = tree.lvl_dr(lvl)
         inv_dr2 = 1.0 / dr**2
@@ -99,37 +99,77 @@ class LevelOp:
             c0 = c0 - (c_lo - c_nb[0]) - (c_hi - c_nb[1])
             c_nb[0] = c_lo
             c_nb[1] = c_hi
+        self.f = None           # rhs boundary-correction factor [n]+[nc]^d
+        self.bc_coeff = None    # per-cell boundary-potential multiplier
+        if lsf_data is not None:
+            data = lsf_data.level_data(lvl)
+            if data["has_bnd"].any():
+                from .lsf import lsf_stencil_coefficients
+                c0l, c_nbl, fl = lsf_stencil_coefficients(tree, lvl, data,
+                                                          0.0)
+                bshape = (len(ids),) + (nc,) * ndim
+                sel = data["has_bnd"].reshape((len(ids),) + (1,) * ndim)
+                c0 = np.where(sel, c0l.reshape(bshape), c0 + np.zeros(bshape))
+                new_nb = []
+                for d in range(2 * ndim):
+                    new_nb.append(np.where(
+                        sel, c_nbl[d].reshape(bshape),
+                        c_nb[d] + np.zeros(bshape)))
+                c_nb = new_nb
+                self.f = np.where(sel, fl.reshape(bshape), 0.0)
+                self.bc_coeff = data["bc_coeff"].reshape(bshape)
         self.c_nb = c_nb
         self.c0 = c0
         self.ids = np.asarray(ids)
-        self.per_box = tree.coord == "cyl"
+        self.per_box = (tree.coord == "cyl") or (self.f is not None)
 
     def _select(self, ids):
         """Restrict per-box coefficient arrays to a subset of the level's
         boxes (needed when applying the operator to parents only)."""
         if not self.per_box:
-            return self.c0, self.c_nb
+            return self.c0, self.c_nb, None
         pos = np.searchsorted(self.ids, np.asarray(ids))
-        return self.c0[pos], [self.c_nb[0][pos], self.c_nb[1][pos]] + \
-            self.c_nb[2:]
+        def sub(x):
+            return x[pos] if isinstance(x, np.ndarray) and x.ndim > 0 else x
+        f = None
+        if self.f is not None:
+            f = self.f[pos] * self.bc_coeff[pos]
+        return sub(self.c0), [sub(c) for c in self.c_nb], f
 
-    def apply(self, B, nc: int, ndim: int, ids=None):
-        """L(phi) on the interior: [n] + [nc]^ndim."""
-        c0, c_nb = (self.c0, self.c_nb) if ids is None else self._select(ids)
+    def bc_corr(self, phi_b, ids=None):
+        """Boundary-correction term f * bc_coeff * phi_b, or 0.0."""
+        if self.f is None:
+            return 0.0
+        if ids is None:
+            return self.f * self.bc_coeff * phi_b
+        pos = np.searchsorted(self.ids, np.asarray(ids))
+        return self.f[pos] * self.bc_coeff[pos] * phi_b
+
+    def apply(self, B, nc: int, ndim: int, ids=None, phi_b=0.0):
+        """L(phi) - bc_correction on the interior: [n] + [nc]^ndim
+        (stencil_apply_357 subtracts the boundary correction)."""
+        if ids is None:
+            c0, c_nb = self.c0, self.c_nb
+            corr = self.bc_corr(phi_b)
+        else:
+            c0, c_nb, f = self._select(ids)
+            corr = f * phi_b if f is not None else 0.0
         out = c0 * B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
         for d in range(2 * ndim):
             delta = -1 if d % 2 == 0 else 1
             out = out + c_nb[d] * _shift(B, d // 2, delta, nc, ndim)
-        return out
+        return out - corr
 
-    def gsrb(self, B, R_int, redblack: int, nc: int, ndim: int):
-        """One half red-black sweep; returns updated interior."""
+    def gsrb(self, B, R_int, redblack: int, nc: int, ndim: int,
+             phi_b=0.0):
+        """One half red-black sweep; returns updated interior. The rhs is
+        augmented with the boundary correction (stencil_gsrb_357)."""
         xp = _xp(B) if not isinstance(B, np.ndarray) else np
         offdiag = 0.0
         for d in range(2 * ndim):
             delta = -1 if d % 2 == 0 else 1
             offdiag = offdiag + self.c_nb[d] * _shift(B, d // 2, delta, nc, ndim)
-        new = (R_int - offdiag) / self.c0
+        new = (R_int + self.bc_corr(phi_b) - offdiag) / self.c0
         mask = _parity_mask(ndim, nc, redblack)
         old = B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
         return xp.where(mask[None], new, old)
@@ -141,7 +181,7 @@ class Multigrid:
     def __init__(self, tree: Tree, i_phi: int, i_rhs: int, i_tmp: int,
                  sides_bc: Callable, helmholtz_lambda: float = 0.0,
                  n_cycle_down: int = 2, n_cycle_up: int = 2,
-                 subtract_mean: bool = False):
+                 subtract_mean: bool = False, lsf_data=None):
         self.tree = tree
         self.i_phi, self.i_rhs, self.i_tmp = i_phi, i_rhs, i_tmp
         self.sides_bc = sides_bc
@@ -149,6 +189,7 @@ class Multigrid:
         self.n_cycle_down = n_cycle_down
         self.n_cycle_up = n_cycle_up
         self.subtract_mean = subtract_mean
+        self.lsf_data = lsf_data
         self._ops: Dict = {}
         self._coarse: Optional[CoarseSolver] = None
         self._coarse_epoch = -1
@@ -159,13 +200,16 @@ class Multigrid:
         if key not in self._ops:
             self._ops = {k: v for k, v in self._ops.items()
                          if k[0] == self.tree.epoch}
-            self._ops[key] = LevelOp(self.tree, lvl, self.lam)
+            self._ops[key] = LevelOp(self.tree, lvl, self.lam,
+                                     self.lsf_data)
         return self._ops[key]
 
     def coarse_solver(self) -> CoarseSolver:
         # level 1 never changes, so build once
         if self._coarse is None:
-            self._coarse = CoarseSolver(self.tree, self.sides_bc, self.lam)
+            op1 = self._op(1) if self.lsf_data is not None else None
+            self._coarse = CoarseSolver(self.tree, self.sides_bc, self.lam,
+                                        level1_op=op1)
         return self._coarse
 
     def _gc_lvl(self, cc, lvl: int, params, corners: bool = True):
@@ -187,9 +231,10 @@ class Multigrid:
         op = self._op(lvl)
         R = blocks(cc, self.i_rhs, ids, nc, ndim)
         R_int = R[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        phi_b = params.get("lsf_phi_b", 0.0)
         for n in range(1, 2 * n_cycle + 1):
             B = blocks(cc, self.i_phi, ids, nc, ndim)
-            new_int = op.gsrb(B, R_int, n, nc, ndim)
+            new_int = op.gsrb(B, R_int, n, nc, ndim, phi_b)
             cc = scatter_interior(cc, self.i_phi, ids, new_int, nc, ndim)
             # ghost exchange after each half sweep (gsrb_boxes :666-685);
             # corners only stored on the final upward half sweep
@@ -197,26 +242,28 @@ class Multigrid:
             cc = self._gc_lvl(cc, lvl, params, corners=use_corners)
         return cc
 
-    def _residual_blocks(self, cc, lvl: int, ids):
+    def _residual_blocks(self, cc, lvl: int, ids, phi_b=0.0):
         t = self.tree
         nc, ndim = t.nc, t.ndim
         op = self._op(lvl)
         B = blocks(cc, self.i_phi, ids, nc, ndim)
         R = blocks(cc, self.i_rhs, ids, nc, ndim)
         R_int = R[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
-        return R_int - op.apply(B, nc, ndim, ids=ids)
+        return R_int - op.apply(B, nc, ndim, ids=ids, phi_b=phi_b)
 
-    def set_residual_tmp(self, cc, max_lvl: Optional[int] = None):
+    def set_residual_tmp(self, cc, max_lvl: Optional[int] = None,
+                         phi_b=0.0):
         """Store rhs - L(phi) in i_tmp on all levels (residual_box)."""
         t = self.tree
         max_lvl = max_lvl or t.highest_lvl
         for lvl in range(1, max_lvl + 1):
             ids = t.lvl_ids[lvl - 1]
-            res = self._residual_blocks(cc, lvl, ids)
+            res = self._residual_blocks(cc, lvl, ids, phi_b)
             cc = scatter_interior(cc, self.i_tmp, ids, res, t.nc, t.ndim)
         return cc
 
-    def max_abs_residual(self, cc, max_lvl: Optional[int] = None):
+    def max_abs_residual(self, cc, max_lvl: Optional[int] = None,
+                         phi_b=0.0):
         """max |rhs - L(phi)| over the *leaves* (the reference's
         af_tree_maxabs_cc reduction loops leaves only,
         ``m_af_utils.f90:773-784``)."""
@@ -228,7 +275,7 @@ class Multigrid:
             leaves = t.lvl_leaves[lvl - 1]
             if len(leaves) == 0:
                 continue
-            res = self._residual_blocks(cc, lvl, leaves)
+            res = self._residual_blocks(cc, lvl, leaves, phi_b)
             m = xp.maximum(m, xp.max(xp.abs(res)))
         return m
 
@@ -237,8 +284,9 @@ class Multigrid:
         t = self.tree
         nc, ndim = t.nc, t.ndim
         ids = t.lvl_ids[lvl - 1]
+        phi_b = params.get("lsf_phi_b", 0.0)
         # residual of all boxes at lvl -> restrict into parents' i_tmp
-        res = self._residual_blocks(cc, lvl, ids)
+        res = self._residual_blocks(cc, lvl, ids, phi_b)
         # write residual into a scratch: use i_tmp of the *fine* boxes
         # transiently (restored implicitly since we recompute later)
         plan = pr.get_full_plan(t, lvl)
@@ -262,7 +310,7 @@ class Multigrid:
             B = blocks(cc, self.i_phi, parents, nc, ndim)
             T = blocks(cc, self.i_tmp, parents, nc, ndim)
             T_int = T[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
-            rhs_new = op.apply(B, nc, ndim, ids=parents) + T_int
+            rhs_new = op.apply(B, nc, ndim, ids=parents, phi_b=phi_b) + T_int
             cc = scatter_interior(cc, self.i_rhs, parents, rhs_new, nc, ndim)
             # store phi (incl. ghosts) in tmp
             if isinstance(cc, np.ndarray):
@@ -281,7 +329,8 @@ class Multigrid:
         ids = t.lvl_ids[lvl - 1]
         if lvl == t.highest_lvl:
             cc = self._gc_lvl(cc, lvl, params)
-        res = self._residual_blocks(cc, lvl, ids)
+        phi_b = params.get("lsf_phi_b", 0.0)
+        res = self._residual_blocks(cc, lvl, ids, phi_b)
         plan = pr.get_full_plan(t, lvl)
         cc = scatter_interior(cc, self.i_tmp, ids, res, nc, ndim)
         cc = pr.restrict(cc, plan, [self.i_tmp], use_geometry=True)
@@ -293,7 +342,7 @@ class Multigrid:
             B = blocks(cc, self.i_phi, parents, nc, ndim)
             T = blocks(cc, self.i_tmp, parents, nc, ndim)
             T_int = T[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
-            rhs_new = op.apply(B, nc, ndim, ids=parents) + T_int
+            rhs_new = op.apply(B, nc, ndim, ids=parents, phi_b=phi_b) + T_int
             cc = scatter_interior(cc, self.i_rhs, parents, rhs_new, nc, ndim)
         return cc
 
@@ -342,7 +391,8 @@ class Multigrid:
             cc = self._gsrb_boxes(cc, lvl, self.n_cycle_up, params,
                                   up_cycle=True)
         if set_residual:
-            cc = self.set_residual_tmp(cc, max_lvl)
+            cc = self.set_residual_tmp(cc, max_lvl,
+                                       params.get("lsf_phi_b", 0.0))
         return cc
 
     def fas_fmg(self, cc, params=None, set_residual: bool = False,

@@ -20,18 +20,18 @@ import time
 import numpy as np
 
 
-def build(dtype32: bool):
+def build():
     import jax
-    if not dtype32:
-        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)
     from afivo_streamer_tpu.driver import Simulation
     ref = "/root/reference/programs/standard_2d/tests"
     sim = Simulation(argv=[
         f"{ref}/test_cyl.cfg", "-ndim=2",
         f"-input_data%file={ref}/td_air_siglo_swarm.txt",
         "-output%name=/tmp/bench/run",
-        # cap the depth so the benchmark mesh is a stable 5-level AMR tree
-        "-refine_min_dx=1e-4",
+        # uniform 6-level mesh (64k cells): exercises the same kernels as
+        # AMR operation, with enough work per level pass to utilize the chip
+        "-refine_max_dx=6.4e-5", "-refine_adx=1e99", "-refine_init_time=-1",
     ])
     return sim
 
@@ -39,14 +39,13 @@ def build(dtype32: bool):
 def main():
     t_setup = time.time()
     import jax
-    dtype32 = jax.default_backend() == "tpu"
-    sim = build(dtype32)
+    sim = build()
     import jax.numpy as jnp
     from afivo_streamer_tpu.parallel.compiled import make_step_fn
     from afivo_streamer_tpu.core import reductions as red
 
     n_cells = red.n_leaf_cells(sim.tree)
-    dtype = jnp.float32 if dtype32 else jnp.float64
+    dtype = jnp.float64
     cc = jnp.asarray(sim.cc, dtype=dtype)
     fc = jnp.asarray(sim.fc, dtype=dtype)
     fn = make_step_fn(sim, n_vcycles=2)
@@ -75,7 +74,7 @@ def main():
     result = {
         "metric": "standard_2d(test_cyl) full step, "
                   f"{sim.tree.highest_lvl}-level AMR, {n_cells} cells, "
-                  f"{'f32' if dtype32 else 'f64'} "
+                  f"f64 "
                   f"[{jax.default_backend()}]",
         "value": round(us_per_cell, 4),
         "unit": "us/cell/step",
