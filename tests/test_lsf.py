@@ -116,3 +116,67 @@ def test_planar_electrode_exact(ndim, refine):
             errs = np.abs(F_nd[mid][inner_faces] - E_exact)
             if errs.size:
                 assert np.max(errs) < 1e-6 * E_exact
+
+
+@pytest.mark.parametrize("refine", [False, True])
+def test_cylinder_electrode_analytic(refine):
+    """2D disk electrode at potential V0 inside a disk domain with the
+    analytic log-potential imposed on the outer boundary:
+    phi(r) = V0 * log(r_out / r) / log(r_out / r_el). Checks the
+    curved-boundary distances (gss) and the variable stencil: the error
+    must be at the discretization level (second order)."""
+    nc = 8
+    t = Tree(2, nc, [1.0, 1.0], [32, 32])
+    ctr = np.array([0.5, 0.5])
+    r_el = 0.1
+    r_out = 2.0  # outer reference radius for the analytic solution
+    V0 = 100.0
+
+    def lsf_fn(r):
+        return np.linalg.norm(r - ctr, axis=-1) - r_el
+
+    def exact(r):
+        rr = np.maximum(np.linalg.norm(r - ctr, axis=-1), r_el)
+        return V0 * np.log(r_out / rr) / np.log(r_out / r_el)
+
+    if refine:
+        def flags(ids):
+            out = np.full([len(ids), nc, nc], KEEP_REF, np.int64)
+            for n, b in enumerate(ids):
+                r0 = t.box_r_min(np.asarray([int(b)]))[0]
+                c = r0 + 0.5 * nc * t.lvl_dr(int(t.lvl[int(b)]))
+                if (np.linalg.norm(c - ctr) < 0.25
+                        and t.lvl[int(b)] == t.highest_lvl):
+                    out[n] = DO_REF
+            return out
+        t.adjust_refinement(flags, ref_buffer=2)
+
+    lsf_data = LsfData(t, lsf_fn, dist_mode="gss")
+
+    def bc(iv, d, coords, params):
+        return gc.BC_DIRICHLET, exact(coords)
+
+    mg = Multigrid(t, I_PHI, I_RHS, I_TMP, bc, lsf_data=lsf_data)
+    batch = BoxBatch(t, 3, 0)
+    cc = np.array(batch.cc)
+    params = {"lsf_phi_b": V0}
+    cc = mg.fill_ghosts_phi(cc, params)
+    for _ in range(15):
+        cc = mg.fas_vcycle(cc, params)
+    res = float(mg.max_abs_residual(cc, phi_b=V0))
+    assert res < 1e-5, f"MG residual too large: {res}"
+
+    interior = sp.interior_flat(2, nc)
+    max_err = 0.0
+    for lvl in range(1, t.highest_lvl + 1):
+        for b in t.lvl_leaves[lvl - 1]:
+            coords = t.cell_coords(int(b))[1:-1, 1:-1]
+            rr = np.linalg.norm(coords - ctr, axis=-1).ravel()
+            phi = cc[I_PHI, int(b), interior]
+            outside = rr > r_el + 0.01
+            if outside.any():
+                err = np.max(np.abs(phi[outside] - exact(
+                    coords.reshape(-1, 2)[outside])))
+                max_err = max(max_err, err)
+    # second-order discretization error: dx^2 * |phi''| ~ (1/32/8)^2 * ...
+    assert max_err < 0.5, f"analytic error too large: {max_err}"
