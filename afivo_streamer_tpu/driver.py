@@ -32,6 +32,8 @@ from .physics.gas import Gas
 from .physics.init_cond import InitCond
 from .physics.model import Model
 from .physics.photoi import Photoionization
+from .physics.gas_dynamics import GasDynamics
+from .physics.coupling import Coupling
 from .physics.refine import RefineSettings, RefineCriterion
 from .physics.streamer import (Registry, StreamerSettings,
                                bc_species_neumann_zero,
@@ -132,6 +134,13 @@ class Simulation:
         reg.set_cc_methods(self.i_electric_fld, bc_species_neumann_zero,
                            rb=gc.RB_INTERP, prolong="linear")
 
+        # ---- gas dynamics (registers Euler variables + M)
+        self.gasdyn = None
+        self.coupling = None
+        if self.gas.dynamics:
+            self.gasdyn = GasDynamics(self.tree, self.gas, reg, self.dt_cfg,
+                                      self.st)
+
         # ---- photoionization (registers i_photo and helmholtz modes)
         self.photoi = Photoionization(cfg, self.tree, reg, self.gas, self.td,
                                       self.chem, self.st, self.i_rhs,
@@ -167,7 +176,9 @@ class Simulation:
             all_densities=self.all_densities, species_cc=self.species_cc,
             i_photo=self.photoi.i_photo if self.photoi.enabled else -1,
             photoi_species_cc=(self.photoi.species_cc
-                               if self.photoi.enabled else -1))
+                               if self.photoi.enabled else -1),
+            i_gas_dens=(self.gasdyn.i_gas_dens if self.gasdyn is not None
+                        else -1))
         self.fluid = FluidModel(
             self.tree, idx, self.chem, self.td, self.gas, self.bc_species,
             self.dt_cfg, self.st,
@@ -177,6 +188,9 @@ class Simulation:
                 or self.st.plasma_region_enabled):
             self.fluid.mask_provider = self._level_mask
         self._mask_cache = {}
+        if self.gasdyn is not None:
+            self.coupling = Coupling(self.tree, self.gas, self.gasdyn, idx,
+                                     reg, charged_cc, ch_q)
 
         # runtime state
         self.it = 0
@@ -361,6 +375,7 @@ class Simulation:
         allids = np.concatenate([np.asarray(i) for i in t.lvl_ids])
         self._fill_lsf(allids)
         self.cc = self.init_cond.apply(self.cc, t, allids)
+        self._init_gas_state(allids)
         self._zero_inside_electrode(allids)
 
         for n in range(100):
@@ -372,10 +387,26 @@ class Simulation:
                 new = np.asarray(info.added, np.int64)
                 self._fill_lsf(new)
                 self.cc = self.init_cond.apply(self.cc, self.tree, new)
+                self._init_gas_state(new)
                 self._zero_inside_electrode(new)
             if info.n_add == 0:
                 break
         self.output_write(0)
+
+    def _init_gas_state(self, ids):
+        """Initial Euler state: constant density/pressure, zero momentum
+        (init_cond_set_box, m_init_cond.f90:245-258)."""
+        if self.gasdyn is None:
+            return
+        gd = self.gasdyn
+        ids = np.asarray(ids)
+        N = self.gas.number_density
+        self.cc[gd.i_gas_dens, ids] = N
+        self.cc[gd.gas_vars[gd.i_rho], ids] = N * self.gas.molecular_weight
+        for m in gd.i_mom:
+            self.cc[gd.gas_vars[m], ids] = 0.0
+        self.cc[gd.gas_vars[gd.i_e], ids] = (
+            self.gas.pressure * 1e5 / (self.gas.euler_gamma - 1.0))
 
     def _zero_inside_electrode(self, ids):
         """Zero all densities where lsf <= 0 (init_cond_set_box,
@@ -554,12 +585,22 @@ class Simulation:
                                                   True)
             self.wc["field"] += _time.time() - t1
 
+            # gas dynamics advance (streamer.f90:325-336)
+            if self.gasdyn is not None:
+                self.cc = self.coupling.add_fluid_source(self.cc, self.fc,
+                                                         dt)
+                dt_gas_lim = self._advance_gas(dt, self.global_time, params)
+                self.cc = self.coupling.update_gas_density(
+                    self.cc, lambda c, ivs: self._gc_simple(c, ivs))
+            else:
+                dt_gas_lim = self.dt_cfg.dt_max
+
             # new time step (streamer.f90:338-343)
             tmp = self.dt_cfg.max_growth_factor
             if fraction_steps_rejected > 0.1:
                 tmp = 1.0
             dt = min(tmp * self.global_dt,
-                     self.dt_cfg.safety_factor * dt_lim)
+                     self.dt_cfg.safety_factor * min(dt_lim, dt_gas_lim))
             if start_of_new_pulse:
                 # start a new pulse with a small time step (streamer.f90:345-351)
                 dt = self.dt_cfg.dt_min
@@ -582,6 +623,15 @@ class Simulation:
             t1 = _time.time()
             if self.it % self.refine_cfg.per_steps == 0:
                 self.restrict_and_gc_densities()
+                if self.gasdyn is not None:
+                    gv = np.asarray(self.gasdyn.gas_vars)
+                    self.cc = pr.restrict_tree(self.cc, self.tree, gv)
+                    for lvl in range(1, self.tree.highest_lvl + 1):
+                        plan = gc.get_gc_plan(self.tree, lvl)
+                        for iv in self.gasdyn.gas_vars:
+                            m = self.registry.methods[iv]
+                            self.cc = gc.fill_ghosts_lvl(
+                                self.cc, plan, [iv], m["rb"], m["bc"], {})
                 info = self.adjust_refinement()
                 if info.n_add > 0 or info.n_rm > 0:
                     self.cc, self.fc = self.field.compute(
@@ -595,6 +645,29 @@ class Simulation:
 
         self.output.status(self, _time.time() - t_start)
         return out_cnt
+
+    def _gc_simple(self, cc, ivs):
+        for lvl in range(1, self.tree.highest_lvl + 1):
+            plan = gc.get_gc_plan(self.tree, lvl)
+            for iv in ivs:
+                m = self.registry.methods.get(
+                    iv, dict(rb=gc.RB_INTERP,
+                             bc=lambda i, d, c, p: (gc.BC_NEUMANN, 0.0)))
+                cc = gc.fill_ghosts_lvl(cc, plan, [iv], m["rb"], m["bc"], {})
+        return cc
+
+    def _advance_gas(self, dt, time, params):
+        """af_advance on the Euler variables (streamer.f90:330-333)."""
+        from .physics.advance import SCHEMES
+        steps = SCHEMES[self.dt_cfg.integrator]
+        dt_lim = None
+        for i_step, (f, toff, s_deriv, s_prev, w_prev, s_out) in \
+                enumerate(steps):
+            self.cc, self.fc, dt_lim = self.gasdyn.forward_euler(
+                self.cc, self.fc, f * dt, dt_lim, time + toff * dt, s_deriv,
+                s_prev, w_prev, s_out, i_step + 1, len(steps), params,
+                fluid=self.fluid)
+        return float(dt_lim)
 
     def _copy_state(self, n_states: int):
         """copy_current_state (streamer.f90:571-583)."""

@@ -50,8 +50,14 @@ class Output:
         species = sim.chem.species_list
         vol = sim.tree.total_volume()
         sums, sums2, maxs = [], [], []
-        for name in species:
-            iv = sim.species_cc[sim.chem.species_list.index(name)]
+        ngas = sim.chem.n_gas_species
+        for n, name in enumerate(species):
+            if n < ngas:  # gas species are not stored in the tree
+                sums.append(0.0)
+                sums2.append(0.0)
+                maxs.append(0.0)
+                continue
+            iv = sim.species_cc[n - ngas]
             sums.append(red.tree_sum_cc(sim.cc, sim.tree, iv) / vol)
             sums2.append(red.tree_sum_cc(sim.cc, sim.tree, iv, power=2) / vol)
             maxs.append(red.tree_max_cc(sim.cc, sim.tree, iv)[0])

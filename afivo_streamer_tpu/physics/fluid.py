@@ -337,6 +337,7 @@ class FluidIndices:
     species_cc: List[int]        # cc index per chemistry species
     i_photo: int = -1
     photoi_species_cc: int = -1
+    i_gas_dens: int = -1
 
 
 class FluidModel:
@@ -394,6 +395,10 @@ class FluidModel:
             # cell-centered field norm with 1 ghost
             Bfld = cc[idx.i_electric_fld, plan.leaves].reshape(
                 (n,) + (nc + 2,) * ndim)
+            Bgas = None
+            if not self.gas.constant_density:
+                Bgas = cc[idx.i_gas_dens, plan.leaves].reshape(
+                    (n,) + (nc + 2,) * ndim)
             cfl_sum = xp.zeros((n,) + (nc,) * ndim, dtype=cc.dtype)
 
             for d in range(ndim):
@@ -432,13 +437,21 @@ class FluidModel:
                            * E_fc[:, None]) > 0
                 u_f = xp.where(dir_pos, u_pos, u_neg)
 
-                # field strength at faces -> mobility/diffusion lookup
+                # field strength at faces -> mobility/diffusion lookup;
+                # with dynamic gas the inverse density is face-averaged
+                # (flux_upwind, m_fluid.f90:147-153)
+                if Bgas is not None:
+                    Ng_lo = sl_faces(Bgas, 0, nc + 1, ghost=1)
+                    Ng_hi = sl_faces(Bgas, 1, nc + 1, ghost=1)
+                    N_inv_f = 2.0 / (Ng_lo + Ng_hi)
+                else:
+                    N_inv_f = N_inv
                 fld_lo = sl_faces(Bfld, 0, nc + 1, ghost=1)
                 fld_hi = sl_faces(Bfld, 1, nc + 1, ghost=1)
                 fld_face = (0.5 * (fld_lo + fld_hi)
-                            * uc.SI_to_Townsend * N_inv)
-                mu = mob_tbl.get_col(TD_MOBILITY, fld_face) * N_inv
-                dc = mob_tbl.get_col(TD_DIFFUSION, fld_face) * N_inv
+                            * uc.SI_to_Townsend * N_inv_f)
+                mu = mob_tbl.get_col(TD_MOBILITY, fld_face) * N_inv_f
+                dc = mob_tbl.get_col(TD_DIFFUSION, fld_face) * N_inv_f
 
                 inv_dx = 1.0 / dr[d]
                 v_e = -mu * E_fc
@@ -448,7 +461,7 @@ class FluidModel:
                 fluxes = [flux_e]
                 sigma = mu * u_f[:, 0]
                 for m in range(1, n_sp):
-                    mu_i = self.td.ion_mobilities[m - 1] * N_inv
+                    mu_i = self.td.ion_mobilities[m - 1] * N_inv_f
                     v_i = sign[m] * mu_i * E_fc
                     fluxes.append(v_i * u_f[:, m])
                     sigma = sigma + mu_i * u_f[:, m]
@@ -687,10 +700,21 @@ class FluidModel:
                                jnp.asarray(interior)[None, :]].set(acc)
 
             # ---------------- chemistry source terms (add_source_terms)
-            fields_td = (cc[idx.i_electric_fld, leaves[:, None],
-                            interior[None, :]]
-                         * uc.SI_to_Townsend * self.gas.inverse_number_density)
-            dens_cols = []
+            if self.gas.constant_density:
+                fields_td = (cc[idx.i_electric_fld, leaves[:, None],
+                                interior[None, :]]
+                             * uc.SI_to_Townsend
+                             * self.gas.inverse_number_density)
+                gas_cols = []
+            else:
+                Ncell = cc[idx.i_gas_dens, leaves[:, None],
+                           interior[None, :]]
+                fields_td = (cc[idx.i_electric_fld, leaves[:, None],
+                                interior[None, :]]
+                             * uc.SI_to_Townsend / Ncell)
+                gas_cols = [self.gas.fractions[k] * Ncell
+                            for k in range(self.chem.n_gas_species)]
+            dens_cols = list(gas_cols)
             for s_cc in idx.species_cc:
                 dens_cols.append(cc[s_cc + s_deriv, leaves[:, None],
                                     interior[None, :]])
@@ -698,21 +722,22 @@ class FluidModel:
             dens = xp.maximum(dens, 0.0)
             flat_fields = fields_td.reshape(-1)
             rates = self.chem.get_rates(flat_fields)
+            ngas = self.chem.n_gas_species
             full, derivs = self.chem.get_derivatives(
-                dens.reshape(-1, len(idx.species_cc)), rates)
+                dens.reshape(-1, ngas + len(idx.species_cc)), rates)
             C = nc ** ndim
             derivs = derivs.reshape(n, C, -1)
             full = full.reshape(n, C, -1)
 
             # chemistry time step restriction (add_source_terms :404-414)
             if self.dt_cfg.chemistry_nmin > 0:
-                dflat = dens.reshape(-1, len(idx.species_cc))
+                dflat = dens.reshape(-1, ngas + len(idx.species_cc))
                 tmp = xp.min((dflat + self.dt_cfg.chemistry_nmin)
                              / xp.maximum(xp.abs(derivs.reshape(
                                  dflat.shape)), eps))
                 dt_chem = xp.minimum(dt_chem, tmp)
             elif self.dt_cfg.chemistry_limit_loss:
-                dflat = dens.reshape(-1, len(idx.species_cc))
+                dflat = dens.reshape(-1, ngas + len(idx.species_cc))
                 tmp = xp.min(xp.maximum(dflat, eps)
                              / xp.maximum(-derivs.reshape(dflat.shape), eps))
                 dt_chem = xp.minimum(dt_chem, tmp)
@@ -727,8 +752,8 @@ class FluidModel:
             # photoionization source
             if idx.i_photo >= 0:
                 photo = cc[idx.i_photo, leaves[:, None], interior[None, :]]
-                e_pos = idx.species_cc.index(idx.i_electron)
-                ph_pos = idx.species_cc.index(idx.photoi_species_cc)
+                e_pos = ngas + idx.species_cc.index(idx.i_electron)
+                ph_pos = ngas + idx.species_cc.index(idx.photoi_species_cc)
                 if isinstance(derivs, np.ndarray):
                     derivs[:, :, e_pos] += photo
                     derivs[:, :, ph_pos] += photo
@@ -736,9 +761,10 @@ class FluidModel:
                     derivs = derivs.at[:, :, e_pos].add(photo)
                     derivs = derivs.at[:, :, ph_pos].add(photo)
 
-            # apply source terms
+            # apply source terms (plasma species only; gas species are not
+            # stored in the tree, m_chemistry.f90:265-266)
             for spi, s_cc in enumerate(idx.species_cc):
-                upd = dt * derivs[:, :, spi]
+                upd = dt * derivs[:, :, ngas + spi]
                 if mask is not None:
                     upd = xp.where(mask, upd, 0.0)
                 if isinstance(cc, np.ndarray):

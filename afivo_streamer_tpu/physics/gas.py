@@ -59,6 +59,10 @@ class Gas:
             raise ValueError("gas%components and gas%fractions size mismatch")
         if abs(float(np.sum(self.fractions)) - 1.0) > 1e-4:
             raise ValueError("gas fractions do not sum to 1")
+        # the last component is 'M', the total density
+        # (gas_initialize, m_gas.f90:183-190)
+        self.components = list(self.components) + ["M"]
+        self.fractions = np.concatenate([self.fractions, [1.0]])
         # N = 1e5 * p / (kB T)  (gas_initialize, m_gas.f90:174-176)
         self.number_density = 1e5 * self.pressure / (
             uc.boltzmann_const * self.temperature)
