@@ -93,6 +93,7 @@ class Photoionization:
         self.i_photo = -1
         self.species_cc = -1
         self.i_excited_cc = -1
+        self.mc = None
         if not self.enabled:
             return
         if not (0.0 < self.eta <= 1.0):
@@ -108,6 +109,15 @@ class Photoionization:
             self.i_photo,
             lambda iv, d, c, p: helmh_bc(iv, d, c, p, tree.ndim),
             rb=gc.RB_INTERP, prolong="linear")
+
+        if self.method == "montecarlo":
+            from .photoi_mc import PhotoiMC
+            self.mc = PhotoiMC(cfg, tree, gas, settings,
+                               rng_seed=abs(settings.rng_seed[0]) + 1)
+            self.n_modes = 0
+            self.i_modes = []
+            self.mgs = []
+            return
 
         # Helmholtz coefficient sets (photoi_helmh_initialize :80-139)
         ix = gas.index("O2")
