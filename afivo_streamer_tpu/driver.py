@@ -215,7 +215,15 @@ class Simulation:
             "Multiplication factor to derefine electrode during interpulse")
         self.refiner.current_electrode_dx = self.refine_cfg.electrode_dx
 
-        self.setup_initial_conditions()
+        restart_from = cfg.add_get(
+            "restart_from_file", "UNDEFINED",
+            "If set, restart simulation from a previous checkpoint")
+        if restart_from != "UNDEFINED":
+            from .io.checkpoint import read_checkpoint
+            self._sync_capacity()
+            read_checkpoint(restart_from, self)
+        else:
+            self.setup_initial_conditions()
 
     # ------------------------------------------------------------ helpers
     def _field_compute_cb(self, cc, fc, s_in, time, have_guess, params):
@@ -436,6 +444,15 @@ class Simulation:
     def output_write(self, out_cnt: int, wc_time: float = 0.0):
         if self.output.regression_test:
             self.output.regression_log(self, out_cnt)
+        if self.output.write_vtk_files:
+            from .io.vtk import write_vtk
+            write_vtk(f"{self.output.name}_{out_cnt:06d}.vtk", self,
+                      out_cnt, self.global_time)
+        if (self.output.datfile_write
+                and out_cnt % self.output.datfile_per_outputs == 0):
+            from .io.checkpoint import write_checkpoint
+            write_checkpoint(f"{self.output.name}_{out_cnt:06d}.npz.dat",
+                             self)
         if self.output.write_log and out_cnt > 0:
             # streamer velocity from max-E displacement
             emax, pos = red.tree_max_cc(self.cc, self.tree,

@@ -36,6 +36,14 @@ class Output:
             "Write a regression-test log")
         self.write_npz = cfg.add_get(
             "output%npz", False, "Write .npz grid output")
+        self.write_vtk_files = cfg.add_get(
+            "output%vtk", False, "Write VTK unstructured output")
+        self.datfile_write = cfg.add_get(
+            "output%datfile_write", False,
+            "Write full-state checkpoints (datfiles) at every output")
+        self.datfile_per_outputs = cfg.add_get(
+            "output%datfile_per_outputs", 1,
+            "Write checkpoints every N outputs")
         self.status_delay = cfg.add_get(
             "output%status_delay", 60.0,
             "Interval between writing status line (s)")
