@@ -371,7 +371,8 @@ def bc_to_ghost(bc_type: int, bc_val, inner1, inner2, dr_dim: float,
 
 
 def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
-                    params=None, corners: bool = True):
+                    params=None, corners: bool = True,
+                    rb_extrap_mask=None):
     """Fill one ghost layer for variables ivs on one level.
 
     bc_fn(iv, d, coords, params) -> (bc_type, values); values broadcastable
@@ -400,6 +401,8 @@ def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
         # --- refinement boundaries
         if len(p.rb_ids):
             fine1 = _gat(cc, ivs, p.rb_ids, p.f1_sidx)
+            extrap_mask = None if rb_extrap_mask is None \
+                else rb_extrap_mask.get(d)
             if rb_method in (RB_INTERP, RB_INTERP_LIM):
                 c1 = _gat(cc, ivs, p.rb_coarse, p.rb_c1)
                 if ndim == 1:
@@ -422,6 +425,10 @@ def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
                 ghost = _gat(cc, ivs, p.rb_parent, p.rb_pcopy)
             else:
                 raise ValueError(f"unknown rb method {rb_method}")
+            if extrap_mask is not None and extrap_mask.any():
+                ghost_e = _rb_extrap_ghost(cc, ivs, p, plan)
+                xp = _xp(cc)
+                ghost = xp.where(extrap_mask[None, :, None], ghost_e, ghost)
             cc = _scat(cc, ivs, p.rb_ids, p.ghost_sidx, ghost)
 
     if corners and ndim >= 2:
@@ -430,6 +437,28 @@ def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
         for plan_c in plan.corner_plans:
             cc = _fill_corner_group(cc, ivs, plan_c, is_edge=False)
     return cc
+
+
+def _rb_extrap_ghost(cc, ivs, p, plan):
+    """Extrapolating refinement-boundary ghosts for variable-coefficient
+    boxes (mg_sides_rb_extrap, ``m_af_multigrid.f90:468-621``): zeroth
+    prolongation from the parent plus a bilinear extrapolation from the fine
+    side. Implemented for ndim <= 2 (3D falls back to the same 1D form)."""
+    ndim, nc = plan.ndim, plan.nc
+    pcopy = _gat(cc, ivs, p.rb_parent, p.rb_pcopy)
+    f1 = _gat(cc, ivs, p.rb_ids, p.f1_sidx)
+    f2 = _gat(cc, ivs, p.rb_ids, p.f2_sidx)
+    if ndim == 1:
+        return 0.5 * pcopy + 0.75 * f1 - 0.25 * f2
+    if ndim == 2:
+        # transverse parity swap: j odd -> j+1, j even -> j-1
+        def pswap(a):
+            b = a.reshape(a.shape[:-1] + (nc // 2, 2))
+            return b[..., ::-1].reshape(a.shape)
+        return (0.5 * pcopy + 1.125 * f1
+                - 0.375 * (f2 + pswap(f1)) + 0.125 * pswap(f2))
+    # 3D: fall back to the 1D extrapolation form
+    return 0.5 * pcopy + 0.75 * f1 - 0.25 * f2
 
 
 def _mg_rb_interp(tmp, ndim: int, nc: int):

@@ -18,6 +18,7 @@ import numpy as np
 from . import constants as uc
 from .core import ghostcell as gc
 from .core import prolong_restrict as pr
+from .core import spatial as sp
 from .core import reductions as red
 from .core.batch import BoxBatch
 from .core.tree import Tree
@@ -34,6 +35,9 @@ from .physics.model import Model
 from .physics.photoi import Photoionization
 from .physics.gas_dynamics import GasDynamics
 from .physics.coupling import Coupling
+from .physics.user_methods import UserMethods, load_user_module
+from .physics.dielectric import Dielectric
+from .solvers.surface import Surfaces
 from .physics.refine import RefineSettings, RefineCriterion
 from .physics.streamer import (Registry, StreamerSettings,
                                bc_species_neumann_zero,
@@ -92,6 +96,12 @@ class Simulation:
         self.i_rhs = reg.add_cc("rhs")
         self.i_tmp = reg.add_cc("tmp", write_out=False)
         self.i_lsf = reg.add_cc("lsf") if self.st.use_electrode else -1
+        self.i_eps = -1
+        if self.st.use_dielectric:
+            self.i_eps = reg.add_cc("eps")
+            reg.set_cc_methods(self.i_eps,
+                               lambda iv, d, c, p: (gc.BC_NEUMANN, 0.0),
+                               rb=gc.RB_PROLONG_COPY, prolong="zeroth")
 
         # face-centered variables
         self.fc_flux: List[int] = [reg.add_fc("flux_elec")]
@@ -129,6 +139,9 @@ class Simulation:
         self.field = FieldSolver(cfg, self.tree, self.st, reg, self.i_phi,
                                  self.i_rhs, self.i_tmp, self.i_electric_fld,
                                  self.fc_E, charged_cc, ch_q)
+        if self.st.use_dielectric:
+            self.field.mg.eps_data = self._eps_level_data
+            self.field.i_eps = self.i_eps
         reg.set_cc_methods(self.i_phi, self.field.phi_bc, rb=gc.RB_MG,
                            prolong="linear")
         reg.set_cc_methods(self.i_electric_fld, bc_species_neumann_zero,
@@ -157,6 +170,10 @@ class Simulation:
         self.batch = BoxBatch(self.tree, reg.n_cc, reg.n_fc)
         self.cc = np.array(self.batch.cc)  # host (NumPy) state by default
         self.fc = np.array(self.batch.fc)
+
+        # ---- user hooks (m_user pattern)
+        self.user = UserMethods()
+        load_user_module(cfg, self)
 
         # ---- initial conditions, refinement, output
         self.init_cond = InitCond(cfg, self.st, reg, self.i_electron,
@@ -215,6 +232,8 @@ class Simulation:
             "Multiplication factor to derefine electrode during interpulse")
         self.refiner.current_electrode_dx = self.refine_cfg.electrode_dx
 
+        self.surfaces = None
+        self.dielectric = None
         restart_from = cfg.add_get(
             "restart_from_file", "UNDEFINED",
             "If set, restart simulation from a previous checkpoint")
@@ -228,6 +247,12 @@ class Simulation:
     # ------------------------------------------------------------ helpers
     def _field_compute_cb(self, cc, fc, s_in, time, have_guess, params):
         return self.field.compute(cc, fc, s_in, time, have_guess, params)
+
+    def _eps_level_data(self, lvl):
+        if self.i_eps < 0:
+            return None
+        ids = np.asarray(self.tree.lvl_ids[lvl - 1])
+        return np.asarray(self.cc[self.i_eps, ids])
 
     def _fill_lsf(self, ids):
         """Evaluate the level-set function on boxes (funcval variable,
@@ -256,6 +281,12 @@ class Simulation:
             lookup = {int(b): i for i, b in enumerate(data["ids"])}
             pos = np.array([lookup[int(b)] for b in leaves], np.int64)
             mask &= data["lsf_cc"][pos] > 0.0
+        if self.st.use_dielectric and self.i_eps >= 0:
+            # no species update inside a dielectric (m_fluid.f90:486-491)
+            interior = sp.interior_flat(ndim, nc)
+            eps_in = np.asarray(self.cc[self.i_eps, leaves[:, None],
+                                        interior[None, :]])
+            mask &= np.abs(eps_in - 1.0) <= 1e-10
         if self.st.plasma_region_enabled:
             for n_i, b in enumerate(leaves):
                 coords = t.cell_coords(int(b))[
@@ -332,9 +363,16 @@ class Simulation:
     def adjust_refinement(self):
         """af_adjust_refinement + data movement for new/removed boxes."""
         self.refiner.time = self.global_time
+        links = (self.surfaces.refinement_links()
+                 if self.surfaces is not None else None)
+        flags_fn = (self.user.refine
+                    if self.user.refine is not None
+                    else lambda ids: self.refiner.cell_flags(self.cc, ids))
         info = self.tree.adjust_refinement(
-            lambda ids: self.refiner.cell_flags(self.cc, ids),
-            ref_buffer=self.refine_cfg.buffer_width)
+            flags_fn, ref_buffer=self.refine_cfg.buffer_width,
+            ref_links=links)
+        if self.surfaces is not None and (info.n_add or info.n_rm):
+            self.surfaces.update_after_refinement(info)
         if info.n_add == 0 and info.n_rm == 0:
             return info
         # grow storage if needed
@@ -384,7 +422,38 @@ class Simulation:
         self._fill_lsf(allids)
         self.cc = self.init_cond.apply(self.cc, t, allids)
         self._init_gas_state(allids)
+        if self.user.initial_conditions is not None:
+            self.user.initial_conditions(self, allids)
+        elif self.st.use_dielectric:
+            raise ValueError(
+                "use_dielectric requires user initial conditions")
         self._zero_inside_electrode(allids)
+
+        if self.st.use_dielectric:
+            # surface container (surface_initialize); number of surface
+            # variables: photon flux + charge states (streamer.f90:487-490)
+            n_surf_vars = self.dt_cfg.num_steps + 2
+            self.surfaces = Surfaces(
+                t, lambda b: np.asarray(self.cc[self.i_eps, b]), n_surf_vars)
+            idx = self.fluid.idx
+            self.dielectric = Dielectric(self.cfg, t, self.surfaces, idx,
+                                         self.chem, self.dt_cfg,
+                                         i_eps=self.i_eps)
+            self.field.surfaces = self.surfaces
+            self.fluid.dielectric = self.dielectric
+            # full charges of the flux species + positive-ion flux list
+            ngas = self.chem.n_gas_species
+            charges = []
+            pos_ion_fc = []
+            for m, iv in enumerate(self.flux_species):
+                six = ngas + self.species_cc.index(iv)
+                q = self.chem.species_charge[six]
+                charges.append(q)
+                if q > 0:
+                    pos_ion_fc.append(self.fc_flux[m])
+            self.dielectric.flux_species_charge = np.asarray(charges,
+                                                            np.float64)
+            self.dielectric.flux_pos_ion = pos_ion_fc
 
         for n in range(100):
             self.cc, self.fc = self.field.compute(
@@ -396,6 +465,8 @@ class Simulation:
                 self._fill_lsf(new)
                 self.cc = self.init_cond.apply(self.cc, self.tree, new)
                 self._init_gas_state(new)
+                if self.user.initial_conditions is not None:
+                    self.user.initial_conditions(self, new)
                 self._zero_inside_electrode(new)
             if info.n_add == 0:
                 break
@@ -691,11 +762,17 @@ class Simulation:
         for iv in self.all_densities:
             self.cc[iv + n_states] = self.cc[iv]
         self.cc[self.i_phi + 1] = self.cc[self.i_phi]
+        if self.dielectric is not None:
+            i_sd = self.dielectric.I_SURF_DENS
+            self.surfaces.copy_variable(i_sd, i_sd + n_states)
 
     def _restore_state(self, n_states: int, params):
         """restore_previous_state (streamer.f90:586-599)."""
         for iv in self.all_densities:
             self.cc[iv] = self.cc[iv + n_states]
         self.cc[self.i_phi] = self.cc[self.i_phi + 1]
+        if self.dielectric is not None:
+            i_sd = self.dielectric.I_SURF_DENS
+            self.surfaces.copy_variable(i_sd + n_states, i_sd)
         self.cc, self.fc = self.field.from_potential(self.cc, self.fc,
                                                      params)

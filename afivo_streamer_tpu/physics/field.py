@@ -95,6 +95,9 @@ class FieldSolver:
                                    "Boundary condition for electric potential")
         self.current_voltage = 0.0
         self.user_potential_bc = None
+        self.surfaces = None   # wired by the driver when use_dielectric
+        self.i_surf_dens = 1   # photon flux = 0, charge = 1 (+ copies)
+        self.i_eps = -1
 
         # ------------------------------------------- electrode geometry
         # (field_initialize electrode settings, m_field.f90:197-345)
@@ -229,6 +232,12 @@ class FieldSolver:
             cc[self.i_rhs, allids] = acc
         else:
             cc = cc.at[self.i_rhs, jnp.asarray(allids)].set(acc)
+        if self.surfaces is not None:
+            # the reference always deposits the base-state surface charge
+            # (field_set_rhs, m_field.f90:398-400)
+            cc = self.surfaces.charge_to_rhs(
+                cc, self.i_surf_dens, self.i_rhs,
+                -uc.elem_charge / uc.eps0)
         return cc
 
     # ------------------------------------------------------------ solve
@@ -295,6 +304,10 @@ class FieldSolver:
         fc = self.mg.compute_phi_gradient(cc, fc, self.fc_E, -1.0)
         if self.lsf_data is not None:
             fc = self._lsf_gradient_correction(cc, fc, params)
+        if self.surfaces is not None:
+            fc = self.surfaces.correct_field_fc(
+                cc, fc, self.i_surf_dens, self.fc_E, self.i_phi,
+                uc.elem_charge / uc.eps0)
         cc = self.mg.compute_field_norm(cc, fc, self.fc_E,
                                         self.i_electric_fld)
         # gc for the norm: neumann-zero bc + unlimited interpolation rb

@@ -358,6 +358,7 @@ class FluidModel:
         self.limiter = limiter
         self.field_compute = None  # wired by the simulation (m_field)
         self.mask_provider = None  # callable(lvl) -> bool mask [n_leaves, C]
+        self.dielectric = None     # wired when use_dielectric
         self.last_diag = {}
 
     # -------------------------------------------------------- flux kernel
@@ -484,9 +485,18 @@ class FluidModel:
                     + 2.0 * xp.maximum(cells_lo(dc), cells_hi(dc))
                     * inv_dx ** 2)
 
-                # store fluxes
+                # store fluxes; inside dielectric boxes fluxes are zero
+                # (flux_upwind, m_fluid.f90:139-144)
+                diel_zero = None
+                if self.dielectric is not None:
+                    first = sp.cc_flat(ndim, nc, *([np.array([1])] * ndim))[0]
+                    eps_first = cc[self.dielectric.idx_eps, plan.leaves,
+                                   first]
+                    diel_zero = (eps_first > 1.0)
                 for m, f_iv in enumerate(idx.flux_fc):
                     flat = fluxes[m].reshape(n, -1)
+                    if diel_zero is not None:
+                        flat = xp.where(diel_zero[:, None], 0.0, flat)
                     if isinstance(fc, np.ndarray):
                         fc[f_iv, d, plan.leaves[:, None], fidx[None, :]] = flat
                     else:
@@ -855,6 +865,14 @@ class FluidModel:
         cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv, params)
         cc, dt_chem, diag = self.update_densities(
             cc, fc, dt, s_deriv, s_prev, w_prev, s_out, last_step, params)
+        if self.dielectric is not None:
+            # surface charge from fluxes + SE + photon emission
+            # (forward_euler, m_fluid.f90:77-94)
+            cc = self.dielectric.update_surface_charge(
+                cc, fc, dt, s_prev, w_prev, s_out,
+                self.dielectric.flux_species_charge,
+                self.dielectric.flux_pos_ion)
+            cc = self.dielectric.photon_emission(cc, fc, dt, s_out)
         xp = _xp(cc)
         # NOTE: the reference *assigns* dt_lim in each substep
         # (m_fluid.f90:96-98), so af_advance returns the limit of the LAST

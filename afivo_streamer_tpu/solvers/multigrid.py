@@ -77,7 +77,8 @@ class LevelOp:
     (mg_box_lpl_stencil, ``m_af_multigrid.f90:1227-1245``); cylindrical
     coordinates scale the radial couplings by the flux factors."""
 
-    def __init__(self, tree: Tree, lvl: int, lam: float, lsf_data=None):
+    def __init__(self, tree: Tree, lvl: int, lam: float, lsf_data=None,
+                 eps_data=None):
         ndim, nc = tree.ndim, tree.nc
         dr = tree.lvl_dr(lvl)
         inv_dr2 = 1.0 / dr**2
@@ -101,6 +102,41 @@ class LevelOp:
             c_nb[1] = c_hi
         self.f = None           # rhs boundary-correction factor [n]+[nc]^d
         self.bc_coeff = None    # per-cell boundary-potential multiplier
+        self.veps = None        # per-box variable-eps flag
+        if eps_data is not None:
+            # variable-permittivity operator (mg_box_lpld_stencil,
+            # m_af_multigrid.f90:1476-1560): harmonic-mean couplings
+            # 2 eps0 eps_nb / (eps0 + eps_nb), cylindrical factors baked in
+            eps = eps_data(lvl)  # [n, (nc+2)^ndim]
+            if eps is not None:
+                n = len(ids)
+                bshape = (n,) + (nc + 2,) * ndim
+                E = np.asarray(eps).reshape(bshape)
+                itr = (slice(None),) + (slice(1, nc + 1),) * ndim
+                e0 = E[itr]
+                new_nb = []
+                for d in range(2 * ndim):
+                    delta = -1 if d % 2 == 0 else 1
+                    sl = [slice(1, nc + 1)] * ndim
+                    sl[d // 2] = slice(1 + delta, nc + 1 + delta)
+                    enb = E[(slice(None),) + tuple(sl)]
+                    base = inv_dr2[d // 2]
+                    cvar = base * 2.0 * e0 * enb / (e0 + enb)
+                    new_nb.append(cvar)
+                if tree.coord == "cyl":
+                    r0 = tree.box_r_min(ids)[:, 0]
+                    i = np.arange(1, nc + 1)
+                    r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
+                    shape2 = (n, nc) + (1,) * (ndim - 1)
+                    rf1 = ((r_cc - 0.5 * dr[0]) / r_cc).reshape(shape2)
+                    rf2 = ((r_cc + 0.5 * dr[0]) / r_cc).reshape(shape2)
+                    new_nb[0] = new_nb[0] * rf1
+                    new_nb[1] = new_nb[1] * rf2
+                c_nb = new_nb
+                c0 = -sum(c_nb) - lam
+                self.veps = np.array(
+                    [np.max(np.asarray(eps[k])) - np.min(np.asarray(eps[k]))
+                     > 1e-8 for k in range(n)])
         if lsf_data is not None:
             data = lsf_data.level_data(lvl)
             if data["has_bnd"].any():
@@ -121,7 +157,8 @@ class LevelOp:
         self.c_nb = c_nb
         self.c0 = c0
         self.ids = np.asarray(ids)
-        self.per_box = (tree.coord == "cyl") or (self.f is not None)
+        self.per_box = ((tree.coord == "cyl") or (self.f is not None)
+                        or (self.veps is not None))
 
     def _select(self, ids):
         """Restrict per-box coefficient arrays to a subset of the level's
@@ -181,7 +218,8 @@ class Multigrid:
     def __init__(self, tree: Tree, i_phi: int, i_rhs: int, i_tmp: int,
                  sides_bc: Callable, helmholtz_lambda: float = 0.0,
                  n_cycle_down: int = 2, n_cycle_up: int = 2,
-                 subtract_mean: bool = False, lsf_data=None):
+                 subtract_mean: bool = False, lsf_data=None,
+                 eps_data=None):
         self.tree = tree
         self.i_phi, self.i_rhs, self.i_tmp = i_phi, i_rhs, i_tmp
         self.sides_bc = sides_bc
@@ -190,6 +228,7 @@ class Multigrid:
         self.n_cycle_up = n_cycle_up
         self.subtract_mean = subtract_mean
         self.lsf_data = lsf_data
+        self.eps_data = eps_data
         self._ops: Dict = {}
         self._coarse: Optional[CoarseSolver] = None
         self._coarse_epoch = -1
@@ -201,21 +240,38 @@ class Multigrid:
             self._ops = {k: v for k, v in self._ops.items()
                          if k[0] == self.tree.epoch}
             self._ops[key] = LevelOp(self.tree, lvl, self.lam,
-                                     self.lsf_data)
+                                     self.lsf_data, self.eps_data)
         return self._ops[key]
 
     def coarse_solver(self) -> CoarseSolver:
         # level 1 never changes, so build once
         if self._coarse is None:
-            op1 = self._op(1) if self.lsf_data is not None else None
+            # per-cell level-1 operator needed for electrodes AND for
+            # variable permittivity — the dense solve must use the same
+            # stencil as the fine-grid smoother or FAS stalls
+            op1 = (self._op(1) if (self.lsf_data is not None
+                                   or self.eps_data is not None) else None)
             self._coarse = CoarseSolver(self.tree, self.sides_bc, self.lam,
                                         level1_op=op1)
         return self._coarse
 
     def _gc_lvl(self, cc, lvl: int, params, corners: bool = True):
         plan = gc.get_gc_plan(self.tree, lvl)
+        veps = None
+        if self.eps_data is not None:
+            op = self._op(lvl)
+            if op.veps is not None:
+                # boxes with variable eps use extrapolating rb ghosts
+                # (mg_auto_rb -> mg_sides_rb_extrap)
+                pos = {int(b): k for k, b in enumerate(op.ids)}
+                veps = {}
+                for d, pd in enumerate(plan.dirs):
+                    if len(pd.rb_ids):
+                        veps[d] = np.array(
+                            [op.veps[pos[int(b)]] for b in pd.rb_ids])
         return gc.fill_ghosts_lvl(cc, plan, [self.i_phi], gc.RB_MG,
-                                  self.sides_bc, params, corners=corners)
+                                  self.sides_bc, params, corners=corners,
+                                  rb_extrap_mask=veps)
 
     def fill_ghosts_phi(self, cc, params):
         for lvl in range(1, self.tree.highest_lvl + 1):

@@ -23,13 +23,13 @@ from afivo_streamer_tpu.driver import Simulation  # noqa: E402
 REF = "/root/reference/programs"
 
 
-def run_case(tmp_path, cfg, ndim, data_file, end_time=None):
+def run_case(tmp_path, cfg, ndim, data_file, end_time=None, extra=()):
     base = os.path.dirname(cfg)
     out = str(tmp_path / "run")
     sim = Simulation(argv=[
         cfg, f"-ndim={ndim}",
         f"-input_data%file={os.path.join(base, data_file)}",
-        f"-output%name={out}",
+        f"-output%name={out}", *extra,
     ])
     sim.run(end_time=end_time)
     return out + "_rtest.log", sim
@@ -61,6 +61,22 @@ def test_standard_1d_chemistry_short(tmp_path):
         "air_chemistry_Baohong_reactions.txt", end_time=1.05e-9)
     compare_prefix(
         log, f"{REF}/standard_1d/tests/test_1d_chemistry_rtest.log", 5)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_dielectric_2d_short(tmp_path):
+    """Surface charging on a bottom dielectric slab (no photoionization,
+    fully deterministic). The full 200 ns run matches 128/132 golden
+    entries; the last two output rows drift ~1.5e-5 (marginally above
+    rtol) after the electron density has decayed by 9 orders."""
+    log, sim = run_case(
+        tmp_path, f"{REF}/dielectric_2d/tests/test_dielectric_charge_2d.cfg",
+        2, "td_air_siglo_swarm.txt", end_time=4.05e-8,
+        extra=("-user%module=/root/repo/programs/dielectric_2d/user.py",))
+    assert sim.surfaces is not None and len(sim.surfaces.active()) > 0
+    compare_prefix(
+        log, f"{REF}/dielectric_2d/tests/test_dielectric_charge_2d_rtest.log",
+        2)
 
 
 @pytest.mark.slow

@@ -126,3 +126,70 @@ def test_vcycle_reduces_residual():
     # average contraction factor < 0.2
     factor = (res[-1] / res[0]) ** (1.0 / 6.0)
     assert factor < 0.2, f"weak V-cycle contraction: {factor}, {res}"
+
+
+@pytest.mark.parametrize("refine", [False, True])
+def test_poisson_dielectric_capacitor(refine):
+    """Planar capacitor with a dielectric slab (eps=2 for y<0.25): the
+    exact potential is piecewise linear with eps*E continuous across the
+    interface (mg_box_lpld_stencil harmonic-mean couplings,
+    ``afivo/src/m_af_multigrid.f90:1476-``). The discrete solution is
+    exact for this profile, so the solver must reproduce it to roundoff."""
+    nc, n1 = 8, 16
+    ndim = 2
+    a, e1, e2, V = 0.25, 2.0, 1.0, 100.0
+    # piecewise-linear phi: slope c1 below the interface, c2 above
+    c2 = V / ((e2 / e1) * a + (1 - a))
+    c1 = (e2 / e1) * c2
+
+    def phi_f(r):
+        y = r[..., 1]
+        return np.where(y < a, c1 * y, c1 * a + c2 * (y - a))
+
+    t = Tree(ndim, nc, [1.0] * ndim, [n1] * ndim)
+    if refine:
+        def flags(ids):
+            out = np.full([len(ids)] + [nc] * ndim, KEEP_REF, np.int64)
+            for n, b in enumerate(ids):
+                r0 = t.box_r_min(np.asarray([int(b)]))[0]
+                ctr = r0 + 0.5 * t.nc * t.lvl_dr(int(t.lvl[int(b)]))
+                # refine strictly inside the gas region (linear solution)
+                if ctr[1] > 0.5 and t.lvl[int(b)] == t.highest_lvl:
+                    out[n] = DO_REF
+            return out
+        t.adjust_refinement(flags, ref_buffer=0)
+
+    I_EPS = 3
+    batch = BoxBatch(t, 4, 0)
+    cc = np.array(batch.cc)
+    for lvl in range(1, t.highest_lvl + 1):
+        for b in t.lvl_ids[lvl - 1]:
+            r = t.cell_coords(int(b))  # incl. ghost layer
+            cc[I_EPS, int(b)] = np.where(r[..., 1] < a, e1, e2).ravel()
+            cc[I_RHS, int(b)] = 0.0
+
+    def eps_data(lvl):
+        ids = np.asarray(t.lvl_ids[lvl - 1])
+        return cc[I_EPS, ids]
+
+    def bc(iv, d, coords, params):
+        if d // 2 == 0:
+            return gc.BC_NEUMANN, 0.0
+        return gc.BC_DIRICHLET, phi_f(coords)
+
+    mg = Multigrid(t, I_PHI, I_RHS, I_TMP, bc, eps_data=eps_data)
+    cc = mg.fill_ghosts_phi(cc, {})
+    cc = mg.fas_fmg(cc, {}, set_residual=True, have_guess=False)
+    for _ in range(10):
+        cc = mg.fas_vcycle(cc, {}, set_residual=True)
+    res = float(mg.max_abs_residual(cc))
+    assert res < 1e-7, f"dielectric MG did not converge: {res}"
+
+    err = 0.0
+    for lvl in range(1, t.highest_lvl + 1):
+        for b in t.lvl_leaves[lvl - 1]:
+            r = t.cell_coords(int(b))
+            got = cc[I_PHI, int(b)].reshape([nc + 2] * ndim)
+            itr = tuple([slice(1, nc + 1)] * ndim)
+            err = max(err, np.max(np.abs(got[itr] - phi_f(r)[itr])))
+    assert err < 1e-8 * V, f"capacitor solution error {err}"
