@@ -92,5 +92,52 @@ def tree_maxabs_cc(cc, tree: Tree, iv: int) -> float:
     return best
 
 
+def tree_max_fc(fc, tree: Tree, dim: int, iv: int
+                ) -> Tuple[float, np.ndarray]:
+    """Maximum of a face-centered variable along one dimension over the
+    leaves, with the face coordinates (af_tree_max_fc)."""
+    nc, ndim = tree.nc, tree.ndim
+    faxes = [np.arange(0, nc + 1) if k == dim else np.arange(0, nc)
+             for k in range(ndim)]
+    fidx = sp.fc_flat(ndim, nc, *faxes)
+    fshape = tuple(nc + 1 if k == dim else nc for k in range(ndim))
+    best = -np.inf
+    best_r = np.zeros(ndim)
+    for lvl in range(1, tree.highest_lvl + 1):
+        leaves = np.asarray(tree.lvl_leaves[lvl - 1])
+        if len(leaves) == 0:
+            continue
+        vals = np.asarray(fc[iv, dim, leaves[:, None], fidx[None, :]])
+        am = np.unravel_index(np.argmax(vals), vals.shape)
+        m = vals[am]
+        if m > best:
+            best = float(m)
+            b = int(leaves[am[0]])
+            face = np.asarray(np.unravel_index(am[1], fshape), np.float64)
+            dr = tree.lvl_dr(lvl)
+            r0 = tree.box_r_min(np.asarray([b]))[0]
+            off = np.full(ndim, 0.5)
+            off[dim] = 0.0
+            best_r = r0 + (face + off) * dr
+    return best, best_r
+
+
+def tree_min_fc(fc, tree: Tree, dim: int, iv: int) -> float:
+    """Minimum of a face-centered variable along one dimension
+    (af_tree_min_fc)."""
+    nc, ndim = tree.nc, tree.ndim
+    faxes = [np.arange(0, nc + 1) if k == dim else np.arange(0, nc)
+             for k in range(ndim)]
+    fidx = sp.fc_flat(ndim, nc, *faxes)
+    best = np.inf
+    for lvl in range(1, tree.highest_lvl + 1):
+        leaves = np.asarray(tree.lvl_leaves[lvl - 1])
+        if len(leaves) == 0:
+            continue
+        vals = np.asarray(fc[iv, dim, leaves[:, None], fidx[None, :]])
+        best = min(best, float(np.min(vals)))
+    return best
+
+
 def n_leaf_cells(tree: Tree) -> int:
     return sum(len(l) for l in tree.lvl_leaves) * tree.nc ** tree.ndim

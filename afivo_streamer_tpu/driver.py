@@ -526,15 +526,15 @@ class Simulation:
                              self)
         if self.output.write_log and out_cnt > 0:
             # streamer velocity from max-E displacement
+            # streamer velocity from the max-E displacement per output
+            # interval (output_log, m_output.f90:628-630)
             emax, pos = red.tree_max_cc(self.cc, self.tree,
                                         self.i_electric_fld)
-            if self.prev_emax_pos is not None and \
-                    self.global_time > self.prev_emax_time:
+            if self.prev_emax_pos is not None:
                 self.velocity = float(
                     np.linalg.norm(pos - self.prev_emax_pos)
-                    / (self.global_time - self.prev_emax_time))
+                    / self.output.dt)
             self.prev_emax_pos = pos
-            self.prev_emax_time = self.global_time
             self.output.log(self, out_cnt, wc_time)
         if self.output.write_npz:
             self.output.write_npz(self, out_cnt)
@@ -694,7 +694,10 @@ class Simulation:
                 dt = self.dt_cfg.dt_min
             self.global_dt = dt
             self.global_time = time
-            self.dt_limits = np.array([dt_lim, 0.0, 0.0, 0.0])
+            if np.ndim(diag.get("dt_limits", None)) == 1:
+                self.dt_limits = np.asarray(diag["dt_limits"])
+            else:
+                self.dt_limits = np.array([dt_lim, 1e100, 1e100, 1e100])
 
             if self.global_dt < self.dt_cfg.dt_min:
                 self.output.status(self, _time.time() - t_start)

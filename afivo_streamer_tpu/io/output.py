@@ -47,6 +47,10 @@ class Output:
         self.status_delay = cfg.add_get(
             "output%status_delay", 60.0,
             "Interval between writing status line (s)")
+        self.density_threshold = cfg.add_get(
+            "output%density_threshold", 1e18,
+            "Electron density threshold for detecting plasma regions "
+            "(1/m3, will be scaled by gas density)")
         self.registry = registry
         os.makedirs(os.path.dirname(self.name) or ".", exist_ok=True)
         self._wall_start = _time.time()
@@ -87,29 +91,97 @@ class Output:
 
     # ----------------------------------------------------------- log
     def log(self, sim, out_cnt: int, wc_time: float) -> None:
-        """Core subset of output_log (``m_output.f90:496-670``)."""
+        """Full observable log (output_log, ``m_output.f90:496-670``):
+        streamer velocity, species sums, net charge, J.E, field/density
+        maxima with locations, radial-field extrema (2D), Sato currents,
+        plasma z-extent, tip field, cell counts and dt restrictions."""
+        from ..physics import analysis
         fname = self.name + "_log.txt"
-        max_fld, loc_fld = red.tree_max_cc(sim.cc, sim.tree,
-                                           sim.i_electric_fld)
-        max_ne, _ = red.tree_max_cc(sim.cc, sim.tree, sim.i_electron)
-        sum_ne = red.tree_sum_cc(sim.cc, sim.tree, sim.i_electron)
-        sum_ni = red.tree_sum_cc(sim.cc, sim.tree, sim.i_1pos_ion)
-        n_cells = red.n_leaf_cells(sim.tree)
-        min_dx = float(sim.tree.lvl_dr(sim.tree.highest_lvl).min())
+        t = sim.tree
+        ndim = t.ndim
+        max_fld, loc_fld = red.tree_max_cc(sim.cc, t, sim.i_electric_fld)
+        max_ne, loc_ne = red.tree_max_cc(sim.cc, t, sim.i_electron)
+        sum_ne = red.tree_sum_cc(sim.cc, t, sim.i_electron)
+        sum_ni = red.tree_sum_cc(sim.cc, t, sim.i_1pos_ion)
+        n_cells = red.n_leaf_cells(t)
+        min_dx = float(t.lvl_dr(t.highest_lvl).min())
+
+        # net charge: charge-weighted species sums + surface charge
+        sum_elem_charge = 0.0
+        ngas = sim.chem.n_gas_species
+        for n in range(ngas, len(sim.chem.species_list)):
+            q = sim.chem.species_charge[n]
+            if q != 0:
+                sum_elem_charge += q * red.tree_sum_cc(
+                    sim.cc, t, sim.species_cc[n - ngas])
+        if sim.surfaces is not None:
+            sum_elem_charge += sim.surfaces.get_integral(
+                sim.field.i_surf_dens)
+
+        # plasma z-extent above a scaled density threshold
+        thr = self.density_threshold * (
+            sim.gas.number_density / 2.414e25) ** 2
+        zlim = [float(sim.st.domain_origin[ndim - 1]
+                      + sim.st.domain_len[ndim - 1]),
+                float(sim.st.domain_origin[ndim - 1])]
+        ne_zminmax = analysis.zmin_zmax_threshold(
+            sim.cc, t, sim.i_electron, thr, zlim)
+
+        # tip field: max E near the z-extent farthest from the boundary
+        r0 = np.array(sim.st.domain_origin, np.float64)
+        r1 = r0 + np.asarray(sim.st.domain_len)
+        Lz = float(sim.st.domain_len[ndim - 1])
+        oz = float(sim.st.domain_origin[ndim - 1])
+        if ne_zminmax[0] - oz < oz + Lz - ne_zminmax[1]:
+            r0[ndim - 1] = ne_zminmax[1] - 0.02 * Lz
+            r1[ndim - 1] = ne_zminmax[1] + 0.02 * Lz
+        else:
+            r0[ndim - 1] = ne_zminmax[0] - 0.02 * Lz
+            r1[ndim - 1] = ne_zminmax[0] + 0.02 * Lz
+        max_field_tip, r_tip = analysis.max_var_region(
+            sim.cc, t, sim.i_electric_fld, r0, r1)
+        if r_tip is None:
+            r_tip = np.zeros(ndim)
+
+        user_names: list = []
+        user_vals: list = []
+        if sim.user is not None and sim.user.log_variables is not None:
+            user_names, user_vals = sim.user.log_variables(sim)
+
         if out_cnt == 1 or not os.path.exists(fname):
+            cols = ["it", "time", "dt", "v", "sum(n_e)", "sum(n_i)",
+                    "sum(charge)", "sum(J.E)", "max(E)"]
+            ax = ["x", "y", "z"][:ndim]
+            cols += ax + ["max(n_e)"] + ax
+            if ndim == 2:
+                cols += ["max(E_r)", "x", "y", "min(E_r)"]
+            cols += ["voltage", "current_J.E", "current_displ",
+                     "ne_zmin", "ne_zmax", "max(Etip)"] + ax
+            cols += ["wc_time", "n_cells", "min(dx)", "dt_cfl", "dt_diff",
+                     "dt_drt", "dt_chem", "highest(lvl)"]
+            cols += list(user_names)
             with open(fname, "w") as f:
-                f.write("it time dt v sum(n_e) sum(n_i) max(E) "
-                        + " ".join(f"x{k}" for k in range(sim.tree.ndim))
-                        + " max(n_e) voltage current_JdotE wc_time n_cells "
-                        "min(dx) dt_cfl dt_drt dt_chem highest(lvl)\n")
+                f.write(" ".join(cols) + "\n")
+
+        vals = [sim.global_time, sim.global_dt, sim.velocity,
+                sum_ne, sum_ni, sum_elem_charge, sim.global_JdotE,
+                max_fld, *loc_fld, max_ne, *loc_ne]
+        if ndim == 2:
+            max_Er, loc_Er = red.tree_max_fc(sim.fc, t, 0, sim.field.fc_E)
+            min_Er = red.tree_min_fc(sim.fc, t, 0, sim.field.fc_E)
+            vals += [max_Er, *loc_Er, min_Er]
+        vals += [sim.field.current_voltage, sim.global_JdotE_current,
+                 sim.global_displ_current, *ne_zminmax,
+                 max_field_tip, *r_tip, wc_time]
         with open(fname, "a") as f:
-            vals = ([out_cnt, sim.global_time, sim.global_dt, sim.velocity,
-                     sum_ne, sum_ni, max_fld] + list(loc_fld)
-                    + [max_ne, sim.field.current_voltage,
-                       sim.global_JdotE_current, wc_time, n_cells, min_dx]
-                    + list(sim.dt_limits[:3]) + [sim.tree.highest_lvl])
-            f.write(" ".join(f"{v:.10E}" if isinstance(v, float)
-                             else str(v) for v in vals) + "\n")
+            f.write(f"{out_cnt:6d}"
+                    + "".join(f" {float(v):19.8E}" for v in vals)
+                    + f" {n_cells:11d}"
+                    + "".join(f" {float(v):19.8E}" for v in
+                              [min_dx, *sim.dt_limits])
+                    + f" {t.highest_lvl:2d}"
+                    + "".join(f" {float(v):19.8E}" for v in user_vals)
+                    + "\n")
 
     def status(self, sim, wc_time: float) -> None:
         """output_status (``m_output.f90:852-867``)."""

