@@ -103,10 +103,21 @@ class Simulation:
                                lambda iv, d, c, p: (gc.BC_NEUMANN, 0.0),
                                rb=gc.RB_PROLONG_COPY, prolong="zeroth")
 
+        # electron energy density (appended to the species list by the
+        # chemistry module; flux variable 2, m_streamer.f90:244-269)
+        self.i_electron_energy = -1
+        if self.model.has_energy_equation:
+            self.i_electron_energy = self.species_cc[
+                self.chem.species_list.index("e_energy") - ngas]
+
         # face-centered variables
         self.fc_flux: List[int] = [reg.add_fc("flux_elec")]
         self.flux_species = [self.i_electron]
         self.flux_charge_sign = [-1]
+        if self.model.has_energy_equation:
+            self.fc_flux.append(reg.add_fc("flux_energy"))
+            self.flux_species.append(self.i_electron_energy)
+            self.flux_charge_sign.append(-1)  # upwind direction only
         for nm in self.td.mobile_ion_names:
             simple = nm
             six = self.chem.species_list.index(simple)
@@ -195,7 +206,8 @@ class Simulation:
             photoi_species_cc=(self.photoi.species_cc
                                if self.photoi.enabled else -1),
             i_gas_dens=(self.gasdyn.i_gas_dens if self.gasdyn is not None
-                        else -1))
+                        else -1),
+            i_electron_energy=self.i_electron_energy)
         self.fluid = FluidModel(
             self.tree, idx, self.chem, self.td, self.gas, self.bc_species,
             self.dt_cfg, self.st,

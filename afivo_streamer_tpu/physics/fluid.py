@@ -30,7 +30,11 @@ from ..core import ghostcell as gc
 from ..core import prolong_restrict as pr
 from ..core.tree import Tree, NO_BOX, neighb_dim, neighb_low
 from ..ops.limiters import limiter_apply, LIMITER_KOREN
-from .transport_data import TD_MOBILITY, TD_DIFFUSION
+from .transport_data import (TD_MOBILITY, TD_DIFFUSION, TD_EE_MOBILITY,
+                             TD_EE_DIFFUSION, TD_EE_LOSS)
+
+#: energy fluxes are 5/3 times the electron flux (m_fluid.f90:122)
+FIVE_THIRD = 5.0 / 3.0
 
 
 def _xp(a):
@@ -338,6 +342,7 @@ class FluidIndices:
     i_photo: int = -1
     photoi_species_cc: int = -1
     i_gas_dens: int = -1
+    i_electron_energy: int = -1  # flux variable 2 for the ee53 model
 
 
 class FluidModel:
@@ -373,6 +378,9 @@ class FluidModel:
         idx = self.idx
         sp_ivs = [iv + s_deriv for iv in idx.flux_species]
         n_sp = len(sp_ivs)
+        has_ee = idx.i_electron_energy >= 0
+        n_elec = 2 if has_ee else 1  # flux_num_electron_vars
+        cfl_factor = FIVE_THIRD if has_ee else 1.0
         sign = idx.flux_charge_sign
 
         # ghost-cell validity near refinement boundaries
@@ -447,12 +455,21 @@ class FluidModel:
                     N_inv_f = 2.0 / (Ng_lo + Ng_hi)
                 else:
                     N_inv_f = N_inv
-                fld_lo = sl_faces(Bfld, 0, nc + 1, ghost=1)
-                fld_hi = sl_faces(Bfld, 1, nc + 1, ghost=1)
-                fld_face = (0.5 * (fld_lo + fld_hi)
-                            * uc.SI_to_Townsend * N_inv_f)
-                mu = mob_tbl.get_col(TD_MOBILITY, fld_face) * N_inv_f
-                dc = mob_tbl.get_col(TD_DIFFUSION, fld_face) * N_inv_f
+                if has_ee:
+                    # local energy approximation: mobility/diffusion from
+                    # the face mean energy (flux_upwind, m_fluid.f90:159-168)
+                    mean_en_f = u_f[:, 1] / xp.maximum(u_f[:, 0], 1.0)
+                    mu = self.td.ee_tbl.get_col(
+                        TD_EE_MOBILITY, mean_en_f) * N_inv_f
+                    dc = self.td.ee_tbl.get_col(
+                        TD_EE_DIFFUSION, mean_en_f) * N_inv_f
+                else:
+                    fld_lo = sl_faces(Bfld, 0, nc + 1, ghost=1)
+                    fld_hi = sl_faces(Bfld, 1, nc + 1, ghost=1)
+                    fld_face = (0.5 * (fld_lo + fld_hi)
+                                * uc.SI_to_Townsend * N_inv_f)
+                    mu = mob_tbl.get_col(TD_MOBILITY, fld_face) * N_inv_f
+                    dc = mob_tbl.get_col(TD_DIFFUSION, fld_face) * N_inv_f
 
                 inv_dx = 1.0 / dr[d]
                 v_e = -mu * E_fc
@@ -461,8 +478,14 @@ class FluidModel:
                 flux_e = v_e * u_f[:, 0] - dc * inv_dx * (ne_R - ne_L)
                 fluxes = [flux_e]
                 sigma = mu * u_f[:, 0]
-                for m in range(1, n_sp):
-                    mu_i = self.td.ion_mobilities[m - 1] * N_inv_f
+                if has_ee:
+                    # energy flux = 5/3 * electron-like flux of the energy
+                    # density (m_fluid.f90:188-192)
+                    fluxes.append(FIVE_THIRD * (
+                        v_e * u_f[:, 1]
+                        - dc * inv_dx * (cR[:, 1] - cL[:, 1])))
+                for m in range(n_elec, n_sp):
+                    mu_i = self.td.ion_mobilities[m - n_elec] * N_inv_f
                     v_i = sign[m] * mu_i * E_fc
                     fluxes.append(v_i * u_f[:, m])
                     sigma = sigma + mu_i * u_f[:, m]
@@ -479,8 +502,11 @@ class FluidModel:
                            for k in range(ndim)]
                     return F[(Ellipsis,) + tuple(slc)]
 
+                # the 5/3 factor applies to the advective term only
+                # (flux_upwind, m_fluid.f90:195-197)
                 cfl_sum = cfl_sum + (
-                    xp.maximum(xp.abs(cells_lo(v_e)), xp.abs(cells_hi(v_e)))
+                    cfl_factor
+                    * xp.maximum(xp.abs(cells_lo(v_e)), xp.abs(cells_hi(v_e)))
                     * inv_dx
                     + 2.0 * xp.maximum(cells_lo(dc), cells_hi(dc))
                     * inv_dx ** 2)
@@ -677,9 +703,11 @@ class FluidModel:
         xp = _xp(cc)
         interior = sp.interior_flat(ndim, nc)
         dt_chem = 1e100
+        dt_other = 1e100
         total_rates = 0.0
         total_JdotE = 0.0
         eps = 1e-100
+        has_ee = idx.i_electron_energy >= 0
 
         for lvl in range(1, t.highest_lvl + 1):
             leaves = np.asarray(t.lvl_leaves[lvl - 1])
@@ -709,6 +737,46 @@ class FluidModel:
                     cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
                                jnp.asarray(interior)[None, :]].set(acc)
 
+            # ---------------- flux divergence (flux_update_densities);
+            # applied before the source terms as in the reference, so the
+            # energy-model source terms see the post-flux s_out states
+            rfac = None
+            if t.coord == "cyl":
+                r0 = t.box_r_min(leaves)[:, 0]
+                i = np.arange(1, nc + 1)
+                r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
+                rfac = ((r_cc - 0.5 * dr[0]) / r_cc,
+                        (r_cc + 0.5 * dr[0]) / r_cc)  # [n, nc]
+            for m, iv in enumerate(idx.flux_species):
+                f_iv = idx.flux_fc[m]
+                div = 0.0
+                for d in range(ndim):
+                    faxes = [np.arange(0, nc + 1) if k == d
+                             else np.arange(0, nc) for k in range(ndim)]
+                    fidx = sp.fc_flat(ndim, nc, *faxes)
+                    F = fc[f_iv, d, leaves[:, None], fidx[None, :]].reshape(
+                        (n,) + tuple(nc + 1 if k == d else nc
+                                     for k in range(ndim)))
+                    lo_slc = tuple(slice(0, nc) if k == d else slice(None)
+                                   for k in range(ndim))
+                    hi_slc = tuple(slice(1, nc + 1) if k == d else slice(None)
+                                   for k in range(ndim))
+                    F_lo = F[(slice(None),) + lo_slc]
+                    F_hi = F[(slice(None),) + hi_slc]
+                    if rfac is not None and d == 0:
+                        shape = (n, nc) + (1,) * (ndim - 1)
+                        F_lo = F_lo * rfac[0].reshape(shape)
+                        F_hi = F_hi * rfac[1].reshape(shape)
+                    div = div + (F_lo - F_hi) / dr[d]
+                upd = dt * div.reshape(n, -1)
+                if mask is not None:
+                    upd = xp.where(mask, upd, 0.0)
+                if isinstance(cc, np.ndarray):
+                    cc[iv + s_out, leaves[:, None], interior[None, :]] += upd
+                else:
+                    cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].add(upd)
+
             # ---------------- chemistry source terms (add_source_terms)
             if self.gas.constant_density:
                 fields_td = (cc[idx.i_electric_fld, leaves[:, None],
@@ -731,7 +799,19 @@ class FluidModel:
             dens = xp.stack(dens_cols, axis=-1)
             dens = xp.maximum(dens, 0.0)
             flat_fields = fields_td.reshape(-1)
-            rates = self.chem.get_rates(flat_fields)
+            mean_energies = None
+            if has_ee:
+                # mean energy from the post-flux s_out states
+                # (add_source_terms, m_fluid.f90:358-364)
+                ne_out = cc[idx.i_electron + s_out, leaves[:, None],
+                            interior[None, :]]
+                en_out = cc[idx.i_electron_energy + s_out, leaves[:, None],
+                            interior[None, :]]
+                mean_energies = en_out / xp.maximum(ne_out, 1.0)
+                rates = self.chem.get_rates(
+                    flat_fields, energy_eV=mean_energies.reshape(-1))
+            else:
+                rates = self.chem.get_rates(flat_fields)
             ngas = self.chem.n_gas_species
             full, derivs = self.chem.get_derivatives(
                 dens.reshape(-1, ngas + len(idx.species_cc)), rates)
@@ -771,6 +851,52 @@ class FluidModel:
                     derivs = derivs.at[:, :, e_pos].add(photo)
                     derivs = derivs.at[:, :, ph_pos].add(photo)
 
+            if has_ee:
+                # electron energy source: Joule gain from the electron flux
+                # minus the tabulated loss rate (add_source_terms,
+                # m_fluid.f90:442-447); applied before the species derivs
+                gain = 0.0
+                for d in range(ndim):
+                    faxes = [np.arange(0, nc + 1) if k == d
+                             else np.arange(0, nc) for k in range(ndim)]
+                    fidx = sp.fc_flat(ndim, nc, *faxes)
+                    shp = (n,) + tuple(nc + 1 if k == d else nc
+                                       for k in range(ndim))
+                    Fe = fc[idx.flux_fc[0], d, leaves[:, None],
+                            fidx[None, :]].reshape(shp)
+                    Ef = fc[idx.fc_E, d, leaves[:, None],
+                            fidx[None, :]].reshape(shp)
+                    prod = Fe * Ef
+                    lo = tuple(slice(0, nc) if k == d else slice(None)
+                               for k in range(ndim))
+                    hi = tuple(slice(1, nc + 1) if k == d else slice(None)
+                               for k in range(ndim))
+                    gain = gain + 0.5 * (prod[(slice(None),) + lo]
+                                         + prod[(slice(None),) + hi]
+                                         ).reshape(n, -1)
+                gain = -gain
+                loss_rate = self.td.ee_tbl.get_col(
+                    TD_EE_LOSS, mean_energies)
+                upd_en = dt * (gain - loss_rate * ne_out)
+                if mask is not None:
+                    upd_en = xp.where(mask, upd_en, 0.0)
+                if isinstance(cc, np.ndarray):
+                    cc[idx.i_electron_energy + s_out, leaves[:, None],
+                       interior[None, :]] += upd_en
+                else:
+                    cc = cc.at[idx.i_electron_energy + s_out,
+                               jnp.asarray(leaves)[:, None],
+                               jnp.asarray(interior)[None, :]].add(upd_en)
+                # energy-loss time step restriction (m_fluid.f90:163-166);
+                # zero mean energy has zero loss -> no restriction
+                tmp = xp.max(mean_energies)
+                restr = xp.where(
+                    tmp > 0.0,
+                    tmp / xp.maximum(
+                        self.td.ee_tbl.get_col(TD_EE_LOSS, tmp), eps),
+                    1e100)
+                dt_other = xp.minimum(dt_other, restr)
+
             # apply source terms (plasma species only; gas species are not
             # stored in the tree, m_chemistry.f90:265-266)
             for spi, s_cc in enumerate(idx.species_cc):
@@ -783,45 +909,8 @@ class FluidModel:
                     cc = cc.at[s_cc + s_out, jnp.asarray(leaves)[:, None],
                                jnp.asarray(interior)[None, :]].add(upd)
 
-            # ---------------- flux divergence (flux_update_densities)
-            rfac = None
-            if t.coord == "cyl":
-                r0 = t.box_r_min(leaves)[:, 0]
-                i = np.arange(1, nc + 1)
-                r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
-                rfac = ((r_cc - 0.5 * dr[0]) / r_cc,
-                        (r_cc + 0.5 * dr[0]) / r_cc)  # [n, nc]
-            for m, iv in enumerate(idx.flux_species):
-                f_iv = idx.flux_fc[m]
-                div = 0.0
-                for d in range(ndim):
-                    faxes = [np.arange(0, nc + 1) if k == d
-                             else np.arange(0, nc) for k in range(ndim)]
-                    fidx = sp.fc_flat(ndim, nc, *faxes)
-                    F = fc[f_iv, d, leaves[:, None], fidx[None, :]].reshape(
-                        (n,) + tuple(nc + 1 if k == d else nc
-                                     for k in range(ndim)))
-                    lo_slc = tuple(slice(0, nc) if k == d else slice(None)
-                                   for k in range(ndim))
-                    hi_slc = tuple(slice(1, nc + 1) if k == d else slice(None)
-                                   for k in range(ndim))
-                    F_lo = F[(slice(None),) + lo_slc]
-                    F_hi = F[(slice(None),) + hi_slc]
-                    if rfac is not None and d == 0:
-                        shape = (n, nc) + (1,) * (ndim - 1)
-                        F_lo = F_lo * rfac[0].reshape(shape)
-                        F_hi = F_hi * rfac[1].reshape(shape)
-                    div = div + (F_lo - F_hi) / dr[d]
-                upd = dt * div.reshape(n, -1)
-                if mask is not None:
-                    upd = xp.where(mask, upd, 0.0)
-                if isinstance(cc, np.ndarray):
-                    cc[iv + s_out, leaves[:, None], interior[None, :]] += upd
-                else:
-                    cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].add(upd)
-
-        diag = {"rates": total_rates, "JdotE": total_JdotE}
+        diag = {"rates": total_rates, "JdotE": total_JdotE,
+                "dt_other": dt_other}
         return cc, dt_chem, diag
 
     def _sum_JdotE(self, fc, lvl: int, vol):
@@ -877,14 +966,15 @@ class FluidModel:
         # NOTE: the reference *assigns* dt_lim in each substep
         # (m_fluid.f90:96-98), so af_advance returns the limit of the LAST
         # substep, not the minimum over substeps.
+        dt_other = diag.get("dt_other", 1e100)
         dt_lim = xp.minimum(
             self.dt_cfg.dt_max,
             xp.minimum(xp.minimum(dt_cfl * self.dt_cfg.cfl_number, dt_drt),
-                       dt_chem))
+                       xp.minimum(dt_chem, dt_other)))
         # the four dt restrictions in the reference's order (m_dt.f90:13-25:
         # cfl, drt, rates, other); "other" is only set by the energy model
         diag["dt_limits"] = xp.stack([
             dt_cfl * self.dt_cfg.cfl_number + 0.0 * dt_lim,
             dt_drt + 0.0 * dt_lim, dt_chem + 0.0 * dt_lim,
-            xp.asarray(1e100) + 0.0 * dt_lim])
+            dt_other + 0.0 * dt_lim])
         return cc, fc, dt_lim, diag
