@@ -95,6 +95,12 @@ class Simulation:
         self.i_electric_fld = reg.add_cc("electric_fld")
         self.i_rhs = reg.add_cc("rhs")
         self.i_tmp = reg.add_cc("tmp", write_out=False)
+        # optional source-factor output variable (m_streamer.f90:438-440)
+        self.i_srcfac = -1
+        if self.st.source_factor != "none" and cfg.add_get(
+                "fixes%write_source_factor", False,
+                "Whether to write the source factor to the output"):
+            self.i_srcfac = reg.add_cc("srcfac")
         self.i_lsf = reg.add_cc("lsf") if self.st.use_electrode else -1
         self.i_eps = -1
         if self.st.use_dielectric:
@@ -207,7 +213,8 @@ class Simulation:
                                if self.photoi.enabled else -1),
             i_gas_dens=(self.gasdyn.i_gas_dens if self.gasdyn is not None
                         else -1),
-            i_electron_energy=self.i_electron_energy)
+            i_electron_energy=self.i_electron_energy,
+            i_srcfac=self.i_srcfac)
         self.fluid = FluidModel(
             self.tree, idx, self.chem, self.td, self.gas, self.bc_species,
             self.dt_cfg, self.st,

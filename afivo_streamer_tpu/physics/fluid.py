@@ -343,6 +343,7 @@ class FluidIndices:
     photoi_species_cc: int = -1
     i_gas_dens: int = -1
     i_electron_energy: int = -1  # flux variable 2 for the ee53 model
+    i_srcfac: int = -1           # output variable for the source factor
 
 
 class FluidModel:
@@ -813,6 +814,9 @@ class FluidModel:
             else:
                 rates = self.chem.get_rates(flat_fields)
             ngas = self.chem.n_gas_species
+            if self.st.source_factor != "none":
+                cc, rates = self._apply_source_factor(
+                    cc, fc, rates, dens, leaves, lvl, xp)
             full, derivs = self.chem.get_derivatives(
                 dens.reshape(-1, ngas + len(idx.species_cc)), rates)
             C = nc ** ndim
@@ -912,6 +916,79 @@ class FluidModel:
         diag = {"rates": total_rates, "JdotE": total_JdotE,
                 "dt_other": dt_other}
         return cc, dt_chem, diag
+
+    def _apply_source_factor(self, cc, fc, rates, dens, leaves, lvl, xp):
+        """Scale ionization rates with |flux|/(n_e mu E) to counter
+        unphysical diffusion-driven ionization (compute_source_factor,
+        ``m_fluid.f90:525-583`` and add_source_terms ``:368-398``)."""
+        t = self.tree
+        idx = self.idx
+        nc, ndim = t.nc, t.ndim
+        n = len(leaves)
+        interior = sp.interior_flat(ndim, nc)
+        small_flux = 1.0e-9
+        ngas = self.chem.n_gas_species
+        ne = dens[:, :, ngas + idx.species_cc.index(idx.i_electron)]
+
+        # cell-centered electron flux norm: 0.5 * |(lo+hi per dim)|
+        acc = 0.0
+        for d in range(ndim):
+            faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
+                     for k in range(ndim)]
+            fidx = sp.fc_flat(ndim, nc, *faxes)
+            shp = (n,) + tuple(nc + 1 if k == d else nc for k in range(ndim))
+            Fe = fc[idx.flux_fc[0], d, leaves[:, None],
+                    fidx[None, :]].reshape(shp)
+            lo = tuple(slice(0, nc) if k == d else slice(None)
+                       for k in range(ndim))
+            hi = tuple(slice(1, nc + 1) if k == d else slice(None)
+                       for k in range(ndim))
+            comp = (Fe[(slice(None),) + lo]
+                    + Fe[(slice(None),) + hi]).reshape(n, -1)
+            acc = acc + comp ** 2
+        flux_norm = 0.5 * xp.sqrt(acc)
+
+        fld = cc[idx.i_electric_fld, leaves[:, None], interior[None, :]]
+        if self.gas.constant_density:
+            N_inv_c = self.gas.inverse_number_density
+            fld_td = fld * uc.SI_to_Townsend * N_inv_c
+        else:
+            Ng = cc[idx.i_gas_dens, leaves[:, None], interior[None, :]]
+            N_inv_c = 1.0 / Ng
+            fld_td = fld * uc.SI_to_Townsend * N_inv_c
+        mob = self.td.tbl.get_col(TD_MOBILITY, fld_td) * N_inv_c
+        factor = (flux_norm + small_flux) / (small_flux + ne * mob * fld)
+        factor = xp.clip(factor, 0.0, 1.0)
+
+        if self.st.source_min_electrons_per_cell > 0:
+            dr = t.lvl_dr(lvl)
+            factor = xp.where(
+                ne * float(dr.min()) ** 3
+                < self.st.source_min_electrons_per_cell, 0.0, factor)
+
+        if idx.i_srcfac >= 0:
+            if isinstance(cc, np.ndarray):
+                cc[idx.i_srcfac, leaves[:, None], interior[None, :]] = factor
+            else:
+                cc = cc.at[idx.i_srcfac, jnp.asarray(leaves)[:, None],
+                           jnp.asarray(interior)[None, :]].set(factor)
+
+        fac_flat = factor.reshape(-1)
+        ioniz = self._ionization_mask()
+        if isinstance(rates, np.ndarray):
+            rates[:, ioniz] *= fac_flat[:, None]
+        else:
+            rates = rates.at[:, jnp.asarray(np.nonzero(ioniz)[0])].multiply(
+                fac_flat[:, None])
+        return cc, rates
+
+    def _ionization_mask(self):
+        from .chemistry import IONIZATION_REACTION
+        if not hasattr(self, "_ioniz_mask"):
+            self._ioniz_mask = np.array(
+                [r.reaction_type == IONIZATION_REACTION
+                 for r in self.chem.reactions], dtype=bool)
+        return self._ioniz_mask
 
     def _sum_JdotE(self, fc, lvl: int, vol):
         """Volume-integrated J.E * elec_charge for the level's leaves."""

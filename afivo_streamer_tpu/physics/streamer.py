@@ -156,6 +156,8 @@ class StreamerSettings:
         self.source_factor = cfg.add_get(
             "fixes%source_factor", "none",
             "Use source factor to prevent unphysical effects due to diffusion")
+        if self.source_factor not in ("none", "flux"):
+            raise ValueError("Options fixes%source_factor: none, flux")
         self.source_min_electrons_per_cell = cfg.add_get(
             "fixes%source_min_electrons_per_cell", -1e100,
             "Minimum number of electrons per cell to include source terms")

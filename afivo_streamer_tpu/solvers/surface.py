@@ -180,20 +180,28 @@ class Surfaces:
             s.sd[i_out] = sum(wi * s.sd[ii] for ii, wi in zip(i_in, w))
 
     def get_integral(self, i_surf: int) -> float:
-        """Integral of a surface density (surface_get_integral)."""
+        """Integral of a surface density (surface_get_integral,
+        ``m_af_surface.f90:293-324``): in cylindrical coordinates each
+        surface element is weighted with 2 pi r of its face center."""
         t = self.tree
+        nc = t.nc
         total = 0.0
         for s in self.active():
-            dim = neighb_dim(s.direction)
+            d = s.direction
+            dim, low = neighb_dim(d), neighb_low(d)
             lvl = int(t.lvl[s.id_out])
             dr = t.lvl_dr(lvl)
             tdims = [k for k in range(t.ndim) if k != dim]
             area = float(np.prod([dr[k] for k in tdims])) if tdims else 1.0
-            if t.coord == "cyl" and dim == 1:
-                r0 = t.box_r_min(np.asarray([s.id_out]))[0][0]
-                i = np.arange(1, t.nc + 1)
-                r_cc = r0 + (i - 0.5) * dr[0]
-                total += float(np.sum(2 * np.pi * r_cc * dr[0] * s.sd[i_surf]))
+            if t.coord == "cyl":
+                r0 = t.box_r_min(np.asarray([s.id_out]))[0]
+                if dim == 1:  # z-normal surface: elements at varying r
+                    i = np.arange(1, nc + 1)
+                    r_face = r0[0] + (i - 0.5) * dr[0]
+                else:         # r-normal surface: constant radius R
+                    r_face = np.full(nc, r0[0] + (0.0 if low else nc * dr[0]))
+                total += float(np.sum(
+                    2 * np.pi * r_face * area * s.sd[i_surf]))
             else:
                 total += area * float(np.sum(s.sd[i_surf]))
         return total
