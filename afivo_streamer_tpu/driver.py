@@ -95,6 +95,12 @@ class Simulation:
         self.i_electric_fld = reg.add_cc("electric_fld")
         self.i_rhs = reg.add_cc("rhs")
         self.i_tmp = reg.add_cc("tmp", write_out=False)
+        # optional power-density output variable (m_streamer.f90:336-341)
+        self.compute_power_density = cfg.add_get(
+            "compute_power_density", False,
+            "Whether to compute the deposited power density")
+        self.i_power_density = (reg.add_cc("power_density")
+                                if self.compute_power_density else -1)
         # optional source-factor output variable (m_streamer.f90:438-440)
         self.i_srcfac = -1
         if self.st.source_factor != "none" and cfg.add_get(
@@ -489,6 +495,7 @@ class Simulation:
                 self._zero_inside_electrode(new)
             if info.n_add == 0:
                 break
+        self.output.initial_summary(self)
         self.output_write(0)
 
     def _init_gas_state(self, ids):
@@ -531,7 +538,42 @@ class Simulation:
             self.fc = fcn
 
     # ----------------------------------------------------------- output
+    def _set_power_density(self):
+        """J.E deposited power per cell (set_power_density_box,
+        ``m_output.f90:940-965``)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        interior = sp.interior_flat(ndim, nc)
+        for lvl in range(1, t.highest_lvl + 1):
+            leaves = np.asarray(t.lvl_leaves[lvl - 1])
+            if len(leaves) == 0:
+                continue
+            n = len(leaves)
+            acc = 0.0
+            for d in range(ndim):
+                faxes = [np.arange(0, nc + 1) if k == d
+                         else np.arange(0, nc) for k in range(ndim)]
+                fidx = sp.fc_flat(ndim, nc, *faxes)
+                shp = (n,) + tuple(nc + 1 if k == d else nc
+                                   for k in range(ndim))
+                Fe = np.asarray(self.fc[self.fc_flux[0], d, leaves[:, None],
+                                        fidx[None, :]]).reshape(shp)
+                Ef = np.asarray(self.fc[self.fc_E, d, leaves[:, None],
+                                        fidx[None, :]]).reshape(shp)
+                prod = Fe * Ef
+                lo = tuple(slice(0, nc) if k == d else slice(None)
+                           for k in range(ndim))
+                hi = tuple(slice(1, nc + 1) if k == d else slice(None)
+                           for k in range(ndim))
+                acc = acc + 0.5 * (prod[(slice(None),) + lo]
+                                   + prod[(slice(None),) + hi]
+                                   ).reshape(n, -1)
+            self.cc[self.i_power_density, leaves[:, None],
+                    interior[None, :]] = acc * uc.elec_charge
+
     def output_write(self, out_cnt: int, wc_time: float = 0.0):
+        if self.compute_power_density:
+            self._set_power_density()
         if self.output.regression_test:
             self.output.regression_log(self, out_cnt)
         if self.output.write_vtk_files:
@@ -555,8 +597,20 @@ class Simulation:
                     / self.output.dt)
             self.prev_emax_pos = pos
             self.output.log(self, out_cnt, wc_time)
-        if self.output.write_npz:
+        if self.output.npz_write:
             self.output.write_npz(self, out_cnt)
+        # secondary writers (output_write, m_output.f90:366-410)
+        self.output.chemical_rates(self)
+        self.output.chemical_amounts(self)
+        if self.output.field_maxima_write:
+            self.output.write_fld_maxima(self, out_cnt)
+        if self.output.plane_write and self.ndim > 1:
+            self.output.write_plane(self, out_cnt)
+        if self.output.lineout_write:
+            self.output.write_line(self, out_cnt)
+        if (self.output.cross_write and self.ndim == 2
+                and self.tree.coord == "cyl"):
+            self.output.write_cross(self, out_cnt)
 
     # -------------------------------------------------------- main loop
     def _substep(self, cc, fc, dt, dt_lim, time, s_deriv, s_prev, w_prev,

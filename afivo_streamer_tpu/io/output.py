@@ -34,7 +34,7 @@ class Output:
         self.regression_test = cfg.add_get(
             "output%regression_test", False,
             "Write a regression-test log")
-        self.write_npz = cfg.add_get(
+        self.npz_write = cfg.add_get(
             "output%npz", False, "Write .npz grid output")
         self.write_vtk_files = cfg.add_get(
             "output%vtk", False, "Write VTK unstructured output")
@@ -51,6 +51,78 @@ class Output:
             "output%density_threshold", 1e18,
             "Electron density threshold for detecting plasma regions "
             "(1/m3, will be scaled by gas density)")
+
+        # secondary writers (output_initialize, m_output.f90:150-250)
+        ndim = settings.domain_len.shape[0]
+        self.lineout_write = cfg.add_get(
+            "lineout%write", False,
+            "Write output along a line")
+        self.lineout_varname = cfg.add_get(
+            "lineout%varname", ["e"],
+            "Names of variable to write in lineout")
+        self.lineout_npoints = cfg.add_get(
+            "lineout%npoints", 500, "Use this many points for lineout data")
+        self.lineout_rmin = np.asarray(cfg.add_get(
+            "lineout%rmin", [0.0] * ndim,
+            "Relative position of line minimum coordinate"), np.float64)
+        self.lineout_rmax = np.asarray(cfg.add_get(
+            "lineout%rmax", [1.0] * ndim,
+            "Relative position of line maximum coordinate"), np.float64)
+        self.plane_write = cfg.add_get(
+            "plane%write", False, "Write uniform output in a plane")
+        self.plane_varname = cfg.add_get(
+            "plane%varname", ["e"], "Names of variable to write in plane")
+        self.plane_npixels = cfg.add_get(
+            "plane%npixels", [64, 64], "Use this many pixels for plane data")
+        self.plane_rmin = np.asarray(cfg.add_get(
+            "plane%rmin", [0.0] * ndim,
+            "Relative position of plane minimum coordinate"), np.float64)
+        self.plane_rmax = np.asarray(cfg.add_get(
+            "plane%rmax", [1.0] * ndim,
+            "Relative position of plane maximum coordinate"), np.float64)
+        self.cross_write = cfg.add_get(
+            "cross%write", False,
+            "Write integral over cross-section data output")
+        self.cross_rmax = cfg.add_get(
+            "cross%rmax", 2.0e-3, "Integrate up to this radius")
+        self.cross_npoints = cfg.add_get(
+            "cross%npoints", 500,
+            "Use this many points for cross-section data")
+        self.field_maxima_write = cfg.add_get(
+            "field_maxima%write", False,
+            "Output electric field maxima and their locations")
+        self.field_maxima_threshold = cfg.add_get(
+            "field_maxima%threshold", 0.0,
+            "Threshold value (V/m) for electric field maxima")
+        self.field_maxima_distance = cfg.add_get(
+            "field_maxima%distance", 0.0,
+            "Minimal distance (m) between electric field maxima")
+
+        # extra grid-output variables (m_output.f90:251-290)
+        self.extra_vars: List[str] = []
+        self._ev_tbl = None
+        if cfg.add_get("output%electron_energy", False,
+                       "Show the electron energy in eV from the local field "
+                       "approximation"):
+            # own E/N -> eV lookup read directly from the input file
+            # (output_initialize, m_output.f90:251-264)
+            from ..utils.table_data import table_from_file
+            td_file = cfg.add_get("input_data%file", "UNDEFINED", "")
+            x, y = table_from_file(td_file, "Mean energy (eV)")
+            self._ev_tbl = (np.asarray(x), np.asarray(y))
+            self.extra_vars.append("eV")
+        if cfg.add_get("output%conductivity", False,
+                       "Output the conductivity of the plasma"):
+            self.extra_vars.append("sigma")
+        if cfg.add_get("output%electron_current", False,
+                       "Output the electron current"):
+            for i in range(ndim):
+                self.extra_vars.append(f"Je_{i + 1}")
+        for nm in cfg.add_get("output%write_source", [""],
+                              "Write chemistry source terms of these "
+                              "species to output"):
+            if nm:
+                self.extra_vars.append(f"src_{nm}")
         self.registry = registry
         os.makedirs(os.path.dirname(self.name) or ".", exist_ok=True)
         self._wall_start = _time.time()
@@ -183,6 +255,232 @@ class Output:
                     + "".join(f" {float(v):19.8E}" for v in user_vals)
                     + "\n")
 
+    # ------------------------------------------- secondary data writers
+    def write_line(self, sim, out_cnt: int) -> None:
+        """Sample variables along a line (af_write_line,
+        ``afivo/src/m_af_output.f90:407-459``)."""
+        from ..physics import analysis
+        t = sim.tree
+        ndim = t.ndim
+        ivs = [sim.registry.cc_names.index(v) for v in self.lineout_varname]
+        r_min = (self.lineout_rmin[:ndim] * sim.st.domain_len
+                 + sim.st.domain_origin)
+        r_max = (self.lineout_rmax[:ndim] * sim.st.domain_len
+                 + sim.st.domain_origin)
+        npts = self.lineout_npoints
+        dr_vec = (r_max - r_min) / max(1, npts - 1)
+        with open(f"{self.name}_line_{out_cnt:06d}.txt", "w") as f:
+            f.write("# " + " ".join("xyz"[:ndim]) + " "
+                    + " ".join(self.lineout_varname) + "\n")
+            hi = t.r_base + np.asarray(t.domain_len) * (1 - 1e-12)
+            for i in range(npts):
+                r = np.minimum(np.maximum(r_min + i * dr_vec, t.r_base), hi)
+                vals, ok = analysis.interp1(sim.cc, t, r, ivs)
+                if not ok:
+                    raise RuntimeError("write_line: interpolation error")
+                f.write(" ".join(f"{x:.8E}" for x in list(r) + list(vals))
+                        + "\n")
+
+    def write_plane(self, sim, out_cnt: int) -> None:
+        """Uniform plane resampling as a structured-points VTK file
+        (af_write_plane, ``afivo/src/m_af_output.f90:465-551``)."""
+        from ..physics import analysis
+        t = sim.tree
+        ndim = t.ndim
+        ivs = [sim.registry.cc_names.index(v) for v in self.plane_varname]
+        r_min = (self.plane_rmin[:ndim] * sim.st.domain_len
+                 + sim.st.domain_origin)
+        r_max = (self.plane_rmax[:ndim] * sim.st.domain_len
+                 + sim.st.domain_origin)
+        npx = self.plane_npixels
+        dvec = r_max - r_min
+        if ndim == 2:
+            v1 = np.array([dvec[0], 0.0]) / (npx[0] - 1)
+            v2 = np.array([0.0, dvec[1]]) / (npx[1] - 1)
+            n_points = [npx[0], npx[1], 1]
+            origin = [r_min[0], r_min[1], 0.0]
+        else:
+            dim_unused = int(np.argmin(np.abs(dvec)))
+            axes = [k for k in range(3) if k != dim_unused]
+            v1 = np.zeros(3)
+            v1[axes[0]] = dvec[axes[0]] / (npx[0] - 1)
+            v2 = np.zeros(3)
+            v2[axes[1]] = dvec[axes[1]] / (npx[1] - 1)
+            n_points = [1, 1, 1]
+            n_points[axes[0]] = npx[0]
+            n_points[axes[1]] = npx[1]
+            origin = list(r_min)
+        data = np.zeros((len(ivs), npx[0], npx[1]))
+        hi_clip = t.r_base + np.asarray(t.domain_len) * (1 - 1e-12)
+        for j in range(npx[1]):
+            for i in range(npx[0]):
+                r = r_min + i * v1[:ndim] + j * v2[:ndim]
+                r = np.minimum(np.maximum(r, t.r_base), hi_clip)
+                vals, ok = analysis.interp1(sim.cc, t, r, ivs)
+                if not ok:
+                    raise RuntimeError("write_plane: interpolation error")
+                data[:, i, j] = vals
+        spacing = (v1 + v2) if ndim == 3 else \
+            [v1[0] + v2[0], v1[1] + v2[1], 0.0]
+        with open(f"{self.name}_plane_{out_cnt:06d}.vtk", "w") as f:
+            f.write("# vtk DataFile Version 2.0\n")
+            f.write(f"{self.name}_plane_{out_cnt:06d}\n")
+            f.write("ASCII\nDATASET STRUCTURED_POINTS\n")
+            f.write("DIMENSIONS " + " ".join(map(str, n_points)) + "\n")
+            f.write("ORIGIN " + " ".join(f"{x:.8E}" for x in origin) + "\n")
+            f.write("SPACING " + " ".join(f"{x:.8E}" for x in spacing)
+                    + "\n")
+            f.write(f"POINT_DATA {int(np.prod(n_points))}\n")
+            for k, v in enumerate(self.plane_varname):
+                f.write(f"SCALARS {v} double 1\nLOOKUP_TABLE default\n")
+                np.savetxt(f, data[k].T.reshape(-1, npx[0]), fmt="%.8E")
+
+    def write_cross(self, sim, out_cnt: int) -> None:
+        """Axisymmetric cross-section integrals vs z (output_cross)."""
+        from ..physics import analysis
+        with open(f"{self.name}_cross_{out_cnt:06d}.txt", "w") as f:
+            f.write("z elec_dens charge_dens current_dens\n")
+            for i in range(1, self.cross_npoints + 1):
+                z = i * float(sim.st.domain_len[1]) / (self.cross_npoints + 1)
+                e, q, j = analysis.get_cross(sim, self.cross_rmax, z)
+                f.write(f"{z:.8E} {e:.8E} {q:.8E} {j:.8E}\n")
+
+    def write_fld_maxima(self, sim, out_cnt: int) -> None:
+        """Electric-field maxima with min-distance merging
+        (output_fld_maxima, ``m_output.f90:..``)."""
+        from ..physics import analysis
+        n_max = 1000
+        coord_val, n_found = analysis.get_maxima(
+            sim.cc, sim.tree, sim.i_electric_fld,
+            self.field_maxima_threshold, n_max)
+        n_found = min(n_found, n_max)
+        cv = coord_val[:n_found].copy()
+        ndim = sim.tree.ndim
+        # merge maxima closer than field_maxima_distance, keeping the larger
+        n = n_found
+        i_n = n
+        while i_n >= 1:
+            merged = False
+            for i in range(i_n - 1):
+                d = float(np.linalg.norm(cv[i, :ndim] - cv[i_n - 1, :ndim]))
+                if d < self.field_maxima_distance:
+                    if cv[i, ndim] < cv[i_n - 1, ndim]:
+                        cv[i] = cv[i_n - 1]
+                    cv[i_n - 1] = cv[n - 1]
+                    n -= 1
+                    merged = True
+                    break
+            i_n -= 1
+        with open(f"{self.name}_Emax_{out_cnt:06d}.txt", "w") as f:
+            for k in range(n):
+                if cv[k, ndim] > self.field_maxima_threshold:
+                    f.write(" ".join(f"{x:.8E}" for x in cv[k]) + "\n")
+
+    def chemical_rates(self, sim, first_time: bool = False) -> None:
+        """Append time + accumulated reaction rates (output_chemical_rates)."""
+        fname = self.name + "_rates.txt"
+        if first_time:
+            if os.path.exists(fname):
+                os.remove(fname)
+            return
+        with open(fname, "a") as f:
+            f.write(f" {sim.global_time:.8E} " + " ".join(
+                f"{x:.8E}" for x in np.atleast_1d(sim.global_rates)) + "\n")
+
+    def chemical_amounts(self, sim, first_time: bool = False) -> None:
+        """Append time + space-integrated species densities
+        (output_chemical_amounts)."""
+        fname = self.name + "_amounts.txt"
+        if first_time:
+            if os.path.exists(fname):
+                os.remove(fname)
+            return
+        ngas = sim.chem.n_gas_species
+        sums = []
+        for n_i in range(len(sim.chem.species_list)):
+            if n_i < ngas:
+                sums.append(0.0)
+            else:
+                sums.append(red.tree_sum_cc(
+                    sim.cc, sim.tree, sim.species_cc[n_i - ngas]))
+        with open(fname, "a") as f:
+            f.write(f" {sim.global_time:.8E} "
+                    + " ".join(f"{x:.8E}" for x in sums) + "\n")
+
+    def initial_summary(self, sim) -> None:
+        """Model summary + chemistry listing files written once at startup
+        (output_initial_summary, ``m_output.f90:294-306``)."""
+        sim.chem.write_summary(self.name + "_summary.txt")
+        with open(self.name + "_stoich_matrix.txt", "w") as f:
+            S = sim.chem.stoich_matrix()
+            for row in S.T:  # per species, columns = reactions
+                f.write(" ".join(str(int(x)) for x in row) + "\n")
+        with open(self.name + "_species.txt", "w") as f:
+            for s in sim.chem.species_list:
+                f.write(s + "\n")
+            f.write("\n")
+        with open(self.name + "_reactions.txt", "w") as f:
+            for r in sim.chem.reactions:
+                f.write(r.description + "\n")
+            f.write("\n")
+        self.chemical_rates(sim, first_time=True)
+        self.chemical_amounts(sim, first_time=True)
+
+    def extra_var_values(self, sim, name: str, b: int) -> np.ndarray:
+        """Per-box values of a derived output variable (add_variables,
+        ``m_output.f90:413-..``): eV, sigma, Je_i, src_<species>."""
+        from .. import constants as uc
+        from ..physics.transport_data import TD_MOBILITY, TD_ENERGY_EV
+        cc = sim.cc
+        if sim.gas.constant_density:
+            N_inv = sim.gas.inverse_number_density
+        else:
+            N_inv = 1.0 / np.asarray(cc[sim.gasdyn.i_gas_dens, b])
+        Td = (np.asarray(cc[sim.i_electric_fld, b])
+              * uc.SI_to_Townsend * N_inv)
+        if name == "eV":
+            x, y = self._ev_tbl
+            return np.interp(Td, x, y)
+        if name == "sigma":
+            return (np.asarray(sim.td.tbl.get_col(TD_MOBILITY, Td)) * N_inv
+                    * np.asarray(cc[sim.i_electron, b]) * uc.elem_charge)
+        if name.startswith("Je_"):
+            idim = int(name[3:]) - 1
+            t = sim.tree
+            nc, ndim = t.nc, t.ndim
+            sigma = (np.asarray(sim.td.tbl.get_col(TD_MOBILITY, Td)) * N_inv
+                     * np.asarray(cc[sim.i_electron, b]) * uc.elem_charge)
+            # cell-centered E component from face averages
+            faxes = [np.arange(0, nc + 1) if k == idim else np.arange(0, nc)
+                     for k in range(ndim)]
+            fidx = sp.fc_flat(ndim, nc, *faxes)
+            F = np.asarray(sim.fc[sim.fc_E, idim, b, fidx]).reshape(
+                tuple(nc + 1 if k == idim else nc for k in range(ndim)))
+            lo = tuple(slice(0, nc) if k == idim else slice(None)
+                       for k in range(ndim))
+            hi = tuple(slice(1, nc + 1) if k == idim else slice(None)
+                       for k in range(ndim))
+            Ecc = 0.5 * (F[lo] + F[hi])
+            out = np.zeros((nc + 2,) * ndim)
+            out[(slice(1, nc + 1),) * ndim] = (
+                sigma.reshape((nc + 2,) * ndim)[(slice(1, nc + 1),) * ndim]
+                * Ecc)
+            return out.ravel()
+        if name.startswith("src_"):
+            species = name[4:]
+            six = sim.chem.species_list.index(species)
+            rates = sim.chem.get_rates(Td)
+            ngas = sim.chem.n_gas_species
+            ncols = ngas + len(sim.species_cc)
+            dens = np.zeros((len(Td), ncols))
+            for k in range(ngas):
+                dens[:, k] = sim.gas.densities[k]
+            for k, iv in enumerate(sim.species_cc):
+                dens[:, ngas + k] = np.asarray(cc[iv, b])
+            _, derivs = sim.chem.get_derivatives(dens, rates)
+            return np.asarray(derivs[:, six])
+        raise ValueError(f"unknown extra output variable {name}")
+
     def status(self, sim, wc_time: float) -> None:
         """output_status (``m_output.f90:852-867``)."""
         pct = 100.0 * sim.global_time / max(sim.st.end_time, 1e-300)
@@ -201,28 +499,34 @@ class Output:
         shape = tuple(int(x) for x in t.coarse_grid_size * 2 ** (lvl - 1))
         out = {}
         names = []
-        for iv, name in enumerate(self.registry.cc_names):
-            if not self.registry.cc_write_output[iv]:
-                continue
+        interior = sp.interior_flat(ndim, nc)
+
+        def fill_grid(values_of_box):
             grid = np.zeros(shape)
-            # fill from leaves, prolonging by pixel replication
-            interior = sp.interior_flat(ndim, nc)
             for ll in range(1, t.highest_lvl + 1):
                 leaves = np.asarray(t.lvl_leaves[ll - 1])
                 if len(leaves) == 0:
                     continue
                 scale = 2 ** (lvl - ll)
-                vals = np.asarray(sim.cc[iv, leaves[:, None],
-                                         interior[None, :]])
-                vals = vals.reshape((len(leaves),) + (nc,) * ndim)
-                for k in range(ndim):
-                    vals = np.repeat(vals, scale, axis=1 + k)
-                for n_i, b in enumerate(leaves):
+                for b in leaves:
+                    vals = values_of_box(int(b)).reshape((nc,) * ndim)
+                    for k in range(ndim):
+                        vals = np.repeat(vals, scale, axis=k)
                     ix0 = t.ix[b] * nc * scale
                     slc = tuple(slice(int(ix0[k]), int(ix0[k] + nc * scale))
                                 for k in range(ndim))
-                    grid[slc] = vals[n_i]
-            out[name] = grid
+                    grid[slc] = vals
+            return grid
+
+        for iv, name in enumerate(self.registry.cc_names):
+            if not self.registry.cc_write_output[iv]:
+                continue
+            out[name] = fill_grid(
+                lambda b: np.asarray(sim.cc[iv, b])[interior])
+            names.append(name)
+        for name in self.extra_vars:
+            out[name] = fill_grid(
+                lambda b: self.extra_var_values(sim, name, b)[interior])
             names.append(name)
         np.savez_compressed(f"{self.name}_{out_cnt:06d}.npz",
                             r_min=t.r_base,

@@ -554,6 +554,54 @@ class Chemistry:
             self._dev[name] = jnp.asarray(getattr(self, name))
         return self._dev[name]
 
+    def stoich_matrix(self) -> np.ndarray:
+        """Net stoichiometry [n_reactions, n_species]
+        (output_stoichiometric_matrix writes its transpose row-wise)."""
+        return np.asarray(self.stoich)
+
+    def write_summary(self, fname: str) -> None:
+        """Swarm-parameter summary vs E/N (chemistry_write_summary,
+        ``m_chemistry.f90:428-501``): mobility, diffusion, alpha, eta and
+        ionization/attachment rates at the transport-table fields."""
+        from .transport_data import TD_MOBILITY, TD_DIFFUSION, TD_ENERGY_EV
+        if not self.gas.constant_density:
+            return
+        fields = np.asarray(self.td.tbl.x)
+        if self.has_energy_equation:
+            energies = np.asarray(self.td.tbl.get_col(TD_ENERGY_EV, fields))
+            rates = np.asarray(self.get_rates(fields, energy_eV=energies))
+        else:
+            rates = np.asarray(self.get_rates(fields))
+        loss = np.zeros(len(fields))
+        src = np.zeros(len(fields))
+        for n, r in enumerate(self.reactions):
+            if r.reaction_type == ATTACHMENT_REACTION:
+                loss += rates[:, n]
+            elif r.reaction_type == IONIZATION_REACTION:
+                src += rates[:, n]
+        diff = np.asarray(self.td.tbl.get_col(TD_DIFFUSION, fields))
+        mu = np.asarray(self.td.tbl.get_col(TD_MOBILITY, fields))
+        v = mu * fields * uc.Townsend_to_SI
+        eta = np.zeros(len(fields))
+        alpha = np.zeros(len(fields))
+        eta[1:] = loss[1:] / v[1:]
+        eta[0] = 2 * eta[1] - eta[2]
+        alpha[1:] = src[1:] / v[1:]
+        alpha[0] = 2 * alpha[1] - alpha[2]
+        N = self.gas.number_density
+        with open(fname, "w") as f:
+            f.write("E/N[Td] E[V/m] Electron_mobility[m^2/(Vs)] "
+                    "Electron_diffusion[m^2/s] "
+                    "Townsend_ioniz._coef._alpha[1/m] "
+                    "Townsend_attach._coef._eta[1/m] Ionization_rate[1/s] "
+                    "Attachment_rate[1/s]\n")
+            for n in range(len(fields)):
+                f.write(" ".join(f"{x:.8E}" for x in [
+                    fields[n], fields[n] * uc.Townsend_to_SI * N,
+                    mu[n] / N, diff[n] / N, alpha[n], eta[n],
+                    src[n], loss[n]]) + "\n")
+            f.write("\n")
+
     def get_breakdown_field_td(self, min_growth_rate: float = 1e3) -> float:
         """Estimate the breakdown field (chemistry_get_breakdown_field,
         ``m_chemistry.f90:518-560``)."""
