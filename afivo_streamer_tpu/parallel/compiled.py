@@ -33,7 +33,12 @@ def make_field_fixed_vcycles(sim, n_vcycles: int = 2):
 
     def field_fn(cc, fc, s_in, time, have_guess, params):
         cc = field.set_rhs(cc, s_in)
-        for _ in range(n_vcycles):
+        if n_vcycles > 1:
+            # scan: the V-cycle body is traced/compiled once
+            def body(c, _):
+                return field.mg.fas_vcycle(c, params), None
+            cc, _ = jax.lax.scan(body, cc, None, length=n_vcycles)
+        else:
             cc = field.mg.fas_vcycle(cc, params)
         cc, fc = field.from_potential(cc, fc, params)
         return cc, fc

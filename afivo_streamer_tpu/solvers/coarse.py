@@ -203,9 +203,9 @@ class CoarseSolver:
             cc[i_phi, self.ids1[:, None], self.interior_sidx[None, :]] = \
                 x[self.rows_map]
             return cc
-        if self._A_inv_dev is None:
-            self._A_inv_dev = jnp.asarray(self.A_inv)
-        x = self._A_inv_dev @ rhs
+        # no caching: inside a trace jnp.asarray yields a tracer (a jaxpr
+        # constant) which must not escape; XLA dedups the constant anyway
+        x = jnp.asarray(self.A_inv) @ rhs
         return cc.at[i_phi, jnp.asarray(self.ids1)[:, None],
                      jnp.asarray(self.interior_sidx)[None, :]].set(
                          x[jnp.asarray(self.rows_map)])

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core import spatial as sp
@@ -198,16 +199,19 @@ class LevelOp:
         return out - corr
 
     def gsrb(self, B, R_int, redblack: int, nc: int, ndim: int,
-             phi_b=0.0):
+             phi_b=0.0, mask=None):
         """One half red-black sweep; returns updated interior. The rhs is
-        augmented with the boundary correction (stencil_gsrb_357)."""
+        augmented with the boundary correction (stencil_gsrb_357). An
+        explicit parity mask can be passed (used by the lax.scan smoother
+        where the parity is a traced value)."""
         xp = _xp(B) if not isinstance(B, np.ndarray) else np
         offdiag = 0.0
         for d in range(2 * ndim):
             delta = -1 if d % 2 == 0 else 1
             offdiag = offdiag + self.c_nb[d] * _shift(B, d // 2, delta, nc, ndim)
         new = (R_int + self.bc_corr(phi_b) - offdiag) / self.c0
-        mask = _parity_mask(ndim, nc, redblack)
+        if mask is None:
+            mask = _parity_mask(ndim, nc, redblack)
         old = B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
         return xp.where(mask[None], new, old)
 
@@ -288,14 +292,32 @@ class Multigrid:
         R = blocks(cc, self.i_rhs, ids, nc, ndim)
         R_int = R[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
         phi_b = params.get("lsf_phi_b", 0.0)
-        for n in range(1, 2 * n_cycle + 1):
+        n_half = 2 * n_cycle
+
+        def half_sweep(cc, n, mask, corners):
             B = blocks(cc, self.i_phi, ids, nc, ndim)
-            new_int = op.gsrb(B, R_int, n, nc, ndim, phi_b)
+            new_int = op.gsrb(B, R_int, n, nc, ndim, phi_b, mask=mask)
             cc = scatter_interior(cc, self.i_phi, ids, new_int, nc, ndim)
             # ghost exchange after each half sweep (gsrb_boxes :666-685);
             # corners only stored on the final upward half sweep
-            use_corners = up_cycle and (n == 2 * n_cycle)
-            cc = self._gc_lvl(cc, lvl, params, corners=use_corners)
+            return self._gc_lvl(cc, lvl, params, corners=corners)
+
+        if isinstance(cc, np.ndarray):
+            for n in range(1, n_half + 1):
+                cc = half_sweep(cc, n, None,
+                                up_cycle and (n == n_half))
+            return cc
+        # traced: scan over the first half sweeps (one traced body), with
+        # the final sweep outside the scan (it may store corner ghosts)
+        if n_half > 1:
+            masks = jnp.asarray(np.stack(
+                [_parity_mask(ndim, nc, n) for n in range(1, n_half)]))
+
+            def body(c, mask):
+                return half_sweep(c, 0, mask, False), None
+
+            cc, _ = jax.lax.scan(body, cc, masks)
+        cc = half_sweep(cc, n_half, None, up_cycle)
         return cc
 
     def _residual_blocks(self, cc, lvl: int, ids, phi_b=0.0):
