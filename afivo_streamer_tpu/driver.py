@@ -61,11 +61,17 @@ class Simulation:
             ndim = cfg.add_get("ndim", 2, "Number of spatial dimensions")
         self.ndim = ndim
 
-        # ---- module initialization (initialize_modules order)
+        # ---- module initialization (initialize_modules order,
+        # streamer.f90:439-455: model, user, dt, tables, gas, ...)
         self.model = Model(cfg)
+        self.user = UserMethods()
+        load_user_module(cfg, self)
         self.dt_cfg = DtConfig(cfg)
         table_settings = TableDataSettings(cfg)
         self.gas = Gas(cfg)
+        if self.user.gas_density is not None and not self.gas.dynamics:
+            # gas density given by a user function (m_gas.f90:146-148)
+            self.gas.constant_density = False
         self.td = TransportData(cfg, self.gas, table_settings,
                                 self.model.has_energy_equation)
         self.chem = Chemistry(self.gas, self.td, self.td.file,
@@ -165,6 +171,15 @@ class Simulation:
         if self.st.use_dielectric:
             self.field.mg.eps_data = self._eps_level_data
             self.field.i_eps = self.i_eps
+        # user hooks into the field solver (m_field.f90:216-219, 323-333,
+        # 515-519)
+        if self.user.potential_bc is not None:
+            self.field.user_potential_bc = self.user.potential_bc
+        if self.user.field_amplitude is not None:
+            self.field.user_field_amplitude = \
+                lambda t: self.user.field_amplitude(self, t)
+        if self.st.use_electrode and self.field.electrode_type == "user":
+            self.field.set_user_lsf(self.user.lsf, self.user.lsf_bc)
         reg.set_cc_methods(self.i_phi, self.field.phi_bc, rb=gc.RB_MG,
                            prolong="linear")
         reg.set_cc_methods(self.i_electric_fld, bc_species_neumann_zero,
@@ -173,9 +188,14 @@ class Simulation:
         # ---- gas dynamics (registers Euler variables + M)
         self.gasdyn = None
         self.coupling = None
+        self.i_gas_dens_user = -1
         if self.gas.dynamics:
             self.gasdyn = GasDynamics(self.tree, self.gas, reg, self.dt_cfg,
                                       self.st)
+        elif self.user.gas_density is not None:
+            # gas density from a user function stored in "M"
+            # (streamer.f90:92-95 funcval)
+            self.i_gas_dens_user = reg.add_cc("M")
 
         # ---- photoionization (registers i_photo and helmholtz modes)
         self.photoi = Photoionization(cfg, self.tree, reg, self.gas, self.td,
@@ -193,10 +213,6 @@ class Simulation:
         self.batch = BoxBatch(self.tree, reg.n_cc, reg.n_fc)
         self.cc = np.array(self.batch.cc)  # host (NumPy) state by default
         self.fc = np.array(self.batch.fc)
-
-        # ---- user hooks (m_user pattern)
-        self.user = UserMethods()
-        load_user_module(cfg, self)
 
         # ---- initial conditions, refinement, output
         self.init_cond = InitCond(cfg, self.st, reg, self.i_electron,
@@ -218,7 +234,7 @@ class Simulation:
             photoi_species_cc=(self.photoi.species_cc
                                if self.photoi.enabled else -1),
             i_gas_dens=(self.gasdyn.i_gas_dens if self.gasdyn is not None
-                        else -1),
+                        else self.i_gas_dens_user),
             i_electron_energy=self.i_electron_energy,
             i_srcfac=self.i_srcfac)
         self.fluid = FluidModel(
@@ -278,6 +294,16 @@ class Simulation:
             return None
         ids = np.asarray(self.tree.lvl_ids[lvl - 1])
         return np.asarray(self.cc[self.i_eps, ids])
+
+    def _fill_user_gas_density(self, ids):
+        """Fill "M" from the user gas-density function, incl. ghost cells
+        (set_gas_density_from_user_function, streamer.f90:672-681)."""
+        if self.i_gas_dens_user < 0:
+            return
+        for b in ids:
+            coords = self.tree.cell_coords(int(b))
+            self.cc[self.i_gas_dens_user, int(b)] = np.asarray(
+                self.user.gas_density(self, coords)).ravel()
 
     def _fill_lsf(self, ids):
         """Evaluate the level-set function on boxes (funcval variable,
@@ -420,6 +446,7 @@ class Simulation:
         for lvl in sorted(info.added_per_lvl):
             ids = info.added_per_lvl[lvl]
             self._fill_lsf(ids)
+            self._fill_user_gas_density(ids)
             plan = pr.ProlongRestrictPlan(self.tree, ids)
             for iv in self.registry.auto_vars:
                 m = self.registry.methods[iv]
@@ -445,6 +472,7 @@ class Simulation:
         self._sync_capacity()
         allids = np.concatenate([np.asarray(i) for i in t.lvl_ids])
         self._fill_lsf(allids)
+        self._fill_user_gas_density(allids)
         self.cc = self.init_cond.apply(self.cc, t, allids)
         self._init_gas_state(allids)
         if self.user.initial_conditions is not None:
@@ -488,6 +516,7 @@ class Simulation:
                 self._sync_capacity()
                 new = np.asarray(info.added, np.int64)
                 self._fill_lsf(new)
+                self._fill_user_gas_density(new)
                 self.cc = self.init_cond.apply(self.cc, self.tree, new)
                 self._init_gas_state(new)
                 if self.user.initial_conditions is not None:
@@ -596,7 +625,12 @@ class Simulation:
                     np.linalg.norm(pos - self.prev_emax_pos)
                     / self.output.dt)
             self.prev_emax_pos = pos
-            self.output.log(self, out_cnt, wc_time)
+            if self.user.log_subroutine is not None:
+                # user-supplied log writer replaces the default
+                # (output_write, m_output.f90:360-364)
+                self.user.log_subroutine(self, out_cnt)
+            else:
+                self.output.log(self, out_cnt, wc_time)
         if self.output.npz_write:
             self.output.write_npz(self, out_cnt)
         # secondary writers (output_write, m_output.f90:366-410)
@@ -649,6 +683,10 @@ class Simulation:
             if wc_time - time_last_print > self.output.status_delay:
                 self.output.status(self, wc_time)
                 time_last_print = wc_time
+
+            # per-iteration user hook (streamer.f90:181-183)
+            if self.user.generic is not None:
+                self.user.generic(self, time)
 
             # pulse-train bookkeeping (streamer.f90:216-234)
             time_until_next_pulse = (self.field.field_pulse_period
@@ -765,6 +803,8 @@ class Simulation:
             if start_of_new_pulse:
                 # start a new pulse with a small time step (streamer.f90:345-351)
                 dt = self.dt_cfg.dt_min
+                if self.user.new_pulse_conditions is not None:
+                    self.user.new_pulse_conditions(self)
             self.global_dt = dt
             self.global_time = time
             if np.ndim(diag.get("dt_limits", None)) == 1:

@@ -93,8 +93,13 @@ class FieldSolver:
 
         self.bc_type = cfg.add_get("field_bc_type", "homogeneous",
                                    "Boundary condition for electric potential")
+        self.field_amplitude = field_amplitude
         self.current_voltage = 0.0
         self.user_potential_bc = None
+        #: callable(time) -> field amplitude; overrides the voltage control
+        #: (user_field_amplitude, m_field.f90:515-519)
+        self.user_field_amplitude = None
+        self.user_lsf_bc = None
         self.surfaces = None   # wired by the driver when use_dielectric
         self.i_surf_dens = 1   # photon flux = 0, charge = 1 (+ copies)
         self.i_eps = -1
@@ -127,7 +132,8 @@ class FieldSolver:
                                        "Electrode 2 radius (in m)")
         self.electrode_type = cfg.add_get(
             "field_electrode_type", "rod",
-            "Type of electrode (sphere, rod, rod_rod, user)")
+            "Type of electrode (sphere, rod, rod_cone_top, rod_rod, "
+            "two_rod_cone_electrodes, user)")
         if settings.use_electrode:
             dl, o = settings.domain_len, settings.domain_origin
             r0 = o + np.asarray([float(x) for x in rod_r0]) * dl
@@ -146,6 +152,60 @@ class FieldSolver:
                 def lsf_fn(r):
                     return np.minimum(geometry.dist_line(r, r0, r1) - rr,
                                       geometry.dist_line(r, r20, r21) - rr2)
+            elif et in ("rod_cone_top", "two_rod_cone_electrodes"):
+                # rod with a conical top ending in a spherical tip
+                # (conical_rod_lsf + get_conical_rod_properties,
+                # m_field.f90:633-700)
+                tip_r = cfg.add_get(
+                    "cone_tip_radius", -1.0e100,
+                    "Radius of curvature of the conical electrode tip")
+                clf = cfg.add_get(
+                    "cone_length_frac", -1.0e100,
+                    "Fraction of the rod length that is conical")
+                if tip_r <= 0 or tip_r > rr:
+                    raise ValueError(
+                        "cone_tip_radius should be smaller than rod radius")
+                if clf < 0 or clf > 1:
+                    raise ValueError("cone_length_frac not set correctly")
+
+                def conical_props(a0, a1, rad, tipr):
+                    cone_length = clf * np.linalg.norm(a1 - a0)
+                    cone_angle = np.arctan((rad - tipr) / cone_length)
+                    r_curv = tipr / np.cos(cone_angle)
+                    ctr = a1 - (np.sin(cone_angle) * r_curv
+                                * (a1 - a0) / np.linalg.norm(a1 - a0))
+                    return ctr, r_curv
+
+                def conical_lsf(r, a0, a1, rad, tipr, lfrac):
+                    ctr, r_curv = conical_props(a0, a1, rad, tipr)
+                    dist_vec, frac = geometry.dist_vec_line(r, a0, a1)
+                    dist = np.linalg.norm(dist_vec, axis=-1)
+                    tmp = (1.0 - frac) / lfrac
+                    radius_at_h = tipr + tmp * (rad - tipr)
+                    tip_d = np.linalg.norm(r - ctr, axis=-1) - r_curv
+                    return np.where(
+                        frac <= 1 - lfrac, dist - rad,
+                        np.where(frac < 1.0, dist - radius_at_h, tip_d))
+
+                if et == "rod_cone_top":
+                    def lsf_fn(r):
+                        return conical_lsf(r, r0, r1, rr, tip_r, clf)
+                else:
+                    tip_r2 = cfg.add_get(
+                        "cone2_tip_radius", -1.0e100,
+                        "Radius of curvature of the second conical tip")
+                    clf2 = cfg.add_get(
+                        "cone2_length_frac", -1.0e100,
+                        "Fraction of the second rod that is conical")
+                    if tip_r2 <= 0 or tip_r2 > rr2:
+                        raise ValueError("cone2_tip_radius incorrect")
+                    if clf2 < 0 or clf2 > 1:
+                        raise ValueError("cone2_length_frac incorrect")
+
+                    def lsf_fn(r):
+                        return np.minimum(
+                            conical_lsf(r, r0, r1, rr, tip_r, clf),
+                            conical_lsf(r, r20, r21, rr2, tip_r2, clf2))
             elif et == "user":
                 lsf_fn = None  # wired later via set_user_lsf
             else:
@@ -156,7 +216,9 @@ class FieldSolver:
 
             g1 = 0.0 if self.electrode_grounded else 1.0
             g2 = 0.0 if self.electrode2_grounded else 1.0
-            if et == "rod_rod":
+            if et in ("rod_rod", "two_rod_cone_electrodes"):
+                # electrode-dependent potential (rod_rod_get_potential /
+                # two_conical_rods_get_potential)
                 def bc_coeff_fn(r):
                     lsf1 = geometry.dist_line(r, r0, r1) - rr
                     lsf2 = geometry.dist_line(r, r20, r21) - rr2
@@ -169,10 +231,27 @@ class FieldSolver:
                                         length_scale=rr,
                                         boundary_coeff_fn=bc_coeff_fn)
             self._lsf_fn = lsf_fn
+            self._default_bc_coeff_fn = bc_coeff_fn
 
         # multigrid for phi
         self.mg = Multigrid(tree, i_phi, i_rhs, i_tmp, self.phi_bc,
                             lsf_data=self.lsf_data)
+
+    def set_user_lsf(self, lsf_fn, lsf_bc_fn=None):
+        """Wire a user-supplied electrode geometry (field_electrode_type =
+        user, m_field.f90:323-333). lsf_fn(r[...,ndim]) -> level set;
+        lsf_bc_fn(r) -> boundary potential (overrides the grounded /
+        at-voltage coefficient; the solve then uses lsf_phi_b = 1)."""
+        if lsf_fn is None:
+            raise ValueError("user electrode type requires user.lsf")
+        self.user_lsf_bc = lsf_bc_fn
+        coeff_fn = (lsf_bc_fn if lsf_bc_fn is not None
+                    else self._default_bc_coeff_fn)
+        self.lsf_data = LsfData(self.tree, lsf_fn,
+                                length_scale=self.rod_radius,
+                                boundary_coeff_fn=coeff_fn)
+        self._lsf_fn = lsf_fn
+        self.mg.lsf_data = self.lsf_data
 
     # ------------------------------------------------- boundary conditions
     def phi_bc(self, iv, d, coords, params):
@@ -200,6 +279,11 @@ class FieldSolver:
     # -------------------------------------------------------- voltage
     def set_voltage(self, time: float) -> float:
         """Set current_voltage (field_set_voltage, ``m_field.f90:508-543``)."""
+        if self.user_field_amplitude is not None:
+            amp = self.user_field_amplitude(time)
+            self.current_voltage = float(
+                -self.st.domain_len[self.tree.ndim - 1] * amp)
+            return self.current_voltage
         if self.given_by == self.TABULATED_VOLTAGE:
             tt, tv = self.field_table
             self.current_voltage = float(lin_interp_list(tt, tv, time))
@@ -252,8 +336,11 @@ class FieldSolver:
         params["voltage"] = self.current_voltage
         if self.lsf_data is not None:
             # boundary potential on the electrode; grounded rods have a zero
-            # per-cell coefficient (mg_lsf_boundary_value)
-            params["lsf_phi_b"] = self.current_voltage
+            # per-cell coefficient (mg_lsf_boundary_value); a user boundary
+            # function supplies the potential directly
+            params["lsf_phi_b"] = (
+                1.0 if getattr(self, "user_lsf_bc", None) is not None
+                else self.current_voltage)
 
         leaves = np.concatenate([np.asarray(l) for l in t.lvl_leaves])
         interior = sp.interior_flat(t.ndim, t.nc)
@@ -274,7 +361,8 @@ class FieldSolver:
                 # (field_compute, m_field.f90:448-450)
                 cc = self.mg.fas_fmg(cc, params, set_residual=True,
                                      have_guess=True)
-                res = float(self.mg.max_abs_residual(cc))
+                res = float(self.mg.max_abs_residual(
+                    cc, phi_b=params.get("lsf_phi_b", 0.0)))
                 residuals.append(res)
                 if res < residual_threshold:
                     break
@@ -291,7 +379,8 @@ class FieldSolver:
 
         for _ in range(self.st.multigrid_num_vcycles):
             cc = self.mg.fas_vcycle(cc, params, set_residual=True)
-            res = float(self.mg.max_abs_residual(cc))
+            res = float(self.mg.max_abs_residual(
+                    cc, phi_b=params.get("lsf_phi_b", 0.0)))
             if res < residual_threshold:
                 break
 

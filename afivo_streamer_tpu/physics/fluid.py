@@ -41,6 +41,17 @@ def _xp(a):
     return np if isinstance(a, np.ndarray) else jnp
 
 
+def _tiny(xp):
+    """The reference's 1e-100 guard; on the traced path a value inside the
+    f32 exponent range, since TPU f64 emulation flushes 1e-100 to zero."""
+    return 1e-100 if xp is np else 1e-30
+
+
+def _huge(xp):
+    """The reference's 1e100 sentinel, f32-range-safe when traced."""
+    return 1e100 if xp is np else 1e30
+
+
 # --------------------------------------------------------------------------
 # 2-ghost extended-array plan (af_gc2_box)
 # --------------------------------------------------------------------------
@@ -388,7 +399,7 @@ class FluidModel:
         cc = pr.restrict_tree(cc, t, np.asarray(sp_ivs), use_geometry=True)
 
         inv_max_cfl = 0.0   # max over cells of sum_d cfl terms
-        max_sigma = 1e-100
+        max_sigma = _tiny(xp)
 
         mob_tbl = self.td.tbl
         N_inv = self.gas.inverse_number_density
@@ -533,7 +544,7 @@ class FluidModel:
             inv_max_cfl = xp.maximum(inv_max_cfl, xp.max(cfl_sum))
 
         fc = self.consistent_fluxes(fc, idx.flux_fc)
-        dt_cfl = 1.0 / xp.maximum(inv_max_cfl, 1e-100)
+        dt_cfl = 1.0 / xp.maximum(inv_max_cfl, _tiny(xp))
         dt_drt = uc.eps0 / (uc.elem_charge * max_sigma)
         return cc, fc, dt_cfl, dt_drt
 
@@ -703,11 +714,11 @@ class FluidModel:
         nc, ndim = t.nc, t.ndim
         xp = _xp(cc)
         interior = sp.interior_flat(ndim, nc)
-        dt_chem = 1e100
-        dt_other = 1e100
+        dt_chem = _huge(xp)
+        dt_other = _huge(xp)
         total_rates = 0.0
         total_JdotE = 0.0
-        eps = 1e-100
+        eps = _tiny(xp)
         has_ee = idx.i_electron_energy >= 0
 
         for lvl in range(1, t.highest_lvl + 1):
@@ -898,7 +909,7 @@ class FluidModel:
                     tmp > 0.0,
                     tmp / xp.maximum(
                         self.td.ee_tbl.get_col(TD_EE_LOSS, tmp), eps),
-                    1e100)
+                    _huge(xp))
                 dt_other = xp.minimum(dt_other, restr)
 
             # apply source terms (plasma species only; gas species are not
@@ -1043,7 +1054,7 @@ class FluidModel:
         # NOTE: the reference *assigns* dt_lim in each substep
         # (m_fluid.f90:96-98), so af_advance returns the limit of the LAST
         # substep, not the minimum over substeps.
-        dt_other = diag.get("dt_other", 1e100)
+        dt_other = diag.get("dt_other", _huge(xp))
         dt_lim = xp.minimum(
             self.dt_cfg.dt_max,
             xp.minimum(xp.minimum(dt_cfl * self.dt_cfg.cfl_number, dt_drt),

@@ -13,9 +13,10 @@ def user_initialize(cfg, sim):
                                   "What kind of dielectric to use")
     dielectric_eps = cfg.add_get("dielectric_eps", 2.0,
                                  "The dielectric permittivity")
-    L = sim.st.domain_len
-
     def set_ics(s, ids):
+        # user_initialize runs before the domain is set up (module order,
+        # streamer.f90:439-455), so read the geometry at hook time
+        L = s.st.domain_len
         t = s.tree
         for b in np.asarray(ids):
             coords = t.cell_coords(int(b))  # incl. ghost layer
