@@ -102,3 +102,56 @@ class InitCond:
             for iv, v in vals.items():
                 cc = cc.at[iv, jnp.asarray(ids)].set(v)
         return cc
+
+
+def stochastic_density(sim, rng_seed: int = 0):
+    """Add a stochastic background density to electrons and ions
+    (init_cond_stochastic_density, ``m_init_cond.f90:146-198``): uniform
+    white noise in [0, stochastic_density) created on the coarsest fully
+    refined level and linearly prolonged (additively) to finer levels.
+    Like the reference this is a utility for user code and is not invoked
+    automatically."""
+    import numpy as np
+    from ..core import spatial as sp
+    from ..core import prolong_restrict as pr
+    from ..core import ghostcell as gc
+
+    ic = sim.init_cond
+    if ic.stochastic_density <= 0.0:
+        return
+    t = sim.tree
+    nc, ndim = t.nc, t.ndim
+    i_rhs = sim.i_rhs
+    rng = np.random.default_rng(rng_seed)
+    interior = sp.interior_flat(ndim, nc)
+
+    # highest level that is fully refined = first level with leaves
+    my_lvl = next(lvl for lvl in range(1, t.highest_lvl + 1)
+                  if len(t.lvl_leaves[lvl - 1]) > 0)
+    sim.cc[i_rhs] = 0.0
+    ids0 = np.asarray(t.lvl_ids[my_lvl - 1])
+    sim.cc[i_rhs, ids0[:, None], interior[None, :]] = (
+        rng.random((len(ids0), nc ** ndim)) * ic.stochastic_density)
+
+    neumann = lambda iv, d, c, p: (gc.BC_NEUMANN, 0.0)  # noqa: E731
+    for lvl in range(my_lvl, t.highest_lvl):
+        plan = gc.get_gc_plan(t, lvl)
+        sim.cc = gc.fill_ghosts_lvl(sim.cc, plan, [i_rhs], gc.RB_INTERP,
+                                    neumann, {})
+        parents = np.asarray([b for b in t.lvl_ids[lvl - 1]
+                              if t.children[int(b), 0] >= 0])
+        if len(parents) == 0:
+            continue
+        children = t.children[parents].reshape(-1)
+        pplan = pr.ProlongRestrictPlan(t, children)
+        sim.cc = pr.prolong(sim.cc, pplan, [i_rhs], method="linear",
+                            add=True)
+
+    for lvl in range(my_lvl, t.highest_lvl + 1):
+        ids = np.asarray(t.lvl_ids[lvl - 1])
+        noise = sim.cc[i_rhs, ids[:, None], interior[None, :]]
+        for iv in (sim.i_electron, sim.i_1pos_ion):
+            sim.cc[iv, ids[:, None], interior[None, :]] += noise
+    # restrict and refill ghosts of the modified species
+    sim.cc = pr.restrict_tree(sim.cc, t, [sim.i_electron, sim.i_1pos_ion])
+    sim.cc = sim._gc_simple(sim.cc, [sim.i_electron, sim.i_1pos_ion])
