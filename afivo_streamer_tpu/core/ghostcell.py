@@ -382,6 +382,33 @@ def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
     ivs = np.asarray(ivs, dtype=np.int32)
     params = params or {}
 
+    import os
+    if not isinstance(cc, np.ndarray) and \
+            os.environ.get("AFIVO_FUSED_GC", "0") == "1":
+        # traced path: fused single-gather/single-scatter fill, cached on
+        # the plan (one per epoch) keyed by the probed bc types.
+        # NOTE measured on TPU (axon, f64-emulated): the fused fill is
+        # ~8% slower per step and slower to compile than the group-wise
+        # fill, whose static dense slab index patterns lower to efficient
+        # slice-gathers; kept as an opt-in knob for other backends.
+        types = []
+        for d, p in enumerate(plan.dirs):
+            if len(p.bc_ids):
+                types.append((d, tuple(
+                    bc_fn(int(iv), d, p.bc_coords, params)[0]
+                    for iv in ivs)))
+        emkey = None
+        if rb_extrap_mask is not None:
+            emkey = tuple(sorted((d, m.tobytes())
+                                 for d, m in rb_extrap_mask.items()))
+        key = (tuple(int(v) for v in ivs), rb_method, tuple(types),
+               corners, emkey)
+        cache = plan.__dict__.setdefault("_fused", {})
+        if key not in cache:
+            cache[key] = FusedGcFill(plan, ivs, rb_method, bc_fn, params,
+                                     rb_extrap_mask, corners)
+        return cache[key](cc, bc_fn, params)
+
     for d, p in enumerate(plan.dirs):
         dim, low = neighb_dim(d), neighb_low(d)
         # --- same-level copy
@@ -506,4 +533,380 @@ def _fill_corner_group(cc, ivs, plan, is_edge: bool):
         else:
             vals = a + b - c
         cc = _scat(cc, ivs, plan["ext_ids"], plan["pos_sidx"], vals)
+    return cc
+
+
+# --------------------------------------------------------------------------
+# Fused ghost fill (traced path): one gather + one scatter per level
+# --------------------------------------------------------------------------
+class FusedGcFill:
+    """Precomputed linear form of a one-level ghost fill.
+
+    Every side ghost value is a fixed linear combination of at most J
+    source cells plus a boundary-condition term:
+
+        ghost[k] = sum_j w[iv, k, j] * cc[iv, src_id[k, j], src_sidx[k, j]]
+                   + add[iv, k]            (evaluated per call from bc_fn)
+
+    optionally limited by min(ghost, 2 * source_0) (af_gc_interp_lim).
+    Corner/edge ghosts are a second linear stage that reads the side
+    ghosts. This collapses the ~40 gather/scatter ops of the group-wise
+    fill into 2 gathers + 2 scatters, which dominates the TPU runtime of
+    the multigrid smoother."""
+
+    def __init__(self, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
+                 params, rb_extrap_mask=None, corners: bool = True):
+        ndim, nc = plan.ndim, plan.nc
+        ivs = [int(v) for v in ivs]
+        n_iv = len(ivs)
+        hnc = nc // 2
+        if ndim == 3 and rb_method == RB_MG:
+            J = 7
+        elif ndim == 2 and (rb_method == RB_MG
+                            or rb_extrap_mask is not None):
+            J = 5
+        else:
+            J = 4
+        tgt_id, tgt_sidx = [], []
+        src_id, src_sidx = [], []
+        w = []           # [K][n_iv, J]
+        lim = []         # [K]
+        self.bc_groups = []  # (iv_idx, d, k0, k1, gamma per type)
+        F = nc ** (ndim - 1)
+
+        def emit(ids_arr, tgt_tbl, srcs, weights, limited=False):
+            """ids_arr [n]; tgt_tbl [F] or [n,F]; srcs: list of
+            (id_arr [n], sidx [F] or [n,F]); weights: [n_iv, len(srcs)]
+            or per-entry [n, n_iv, len(srcs)]."""
+            n = len(ids_arr)
+            if n == 0:
+                return 0
+            tt = np.broadcast_to(tgt_tbl, (n, F)) if tgt_tbl.ndim == 1 \
+                else tgt_tbl
+            tgt_id.append(np.repeat(np.asarray(ids_arr), F))
+            tgt_sidx.append(tt.reshape(-1))
+            K_new = n * F
+            sid = np.zeros((K_new, J), np.int32)
+            ssx = np.zeros((K_new, J), np.int32)
+            ww = np.zeros((K_new, n_iv, J))
+            for j, (ia, sx) in enumerate(srcs):
+                sid[:, j] = np.repeat(np.asarray(ia), F)
+                sxb = np.broadcast_to(sx, (n, F)) if sx.ndim == 1 else sx
+                ssx[:, j] = sxb.reshape(-1)
+            wa = np.asarray(weights)
+            if wa.ndim == 2:  # [n_iv, nsrc]
+                ww[:, :, :wa.shape[1]] = wa[None]
+            else:             # [n, n_iv, nsrc] per-entry
+                ww[:, :, :wa.shape[2]] = wa.reshape(K_new // F, 1, -1).repeat(
+                    F, 0) if False else np.repeat(wa, F, axis=0)
+            src_id.append(sid)
+            src_sidx.append(ssx)
+            w.append(ww)
+            lim.append(np.full(K_new, limited))
+            return K_new
+
+        k_count = 0
+        one = np.ones((n_iv, 1))
+        for d, p in enumerate(plan.dirs):
+            dim, low = neighb_dim(d), neighb_low(d)
+            # same-level copy
+            k_count += emit(p.copy_ids, p.ghost_sidx,
+                            [(p.copy_nb, p.nbint_sidx)], one)
+            # physical boundary: affine in inner1/inner2 + bc value
+            if len(p.bc_ids):
+                wbc = np.zeros((n_iv, 2))
+                gammas = []
+                for i, iv in enumerate(ivs):
+                    bc_type, _ = bc_fn(iv, d, p.bc_coords, params or {})
+                    if bc_type == BC_DIRICHLET:
+                        wbc[i] = [-1.0, 0.0]
+                        gammas.append(2.0)
+                    elif bc_type == BC_NEUMANN:
+                        wbc[i] = [1.0, 0.0]
+                        gammas.append((1.0 if not low else -1.0)
+                                      * plan.dr[dim])
+                    elif bc_type == BC_CONTINUOUS:
+                        wbc[i] = [2.0, -1.0]
+                        gammas.append(0.0)
+                    elif bc_type == BC_DIRICHLET_COPY:
+                        wbc[i] = [0.0, 0.0]
+                        gammas.append(1.0)
+                    else:
+                        raise ValueError("unknown bc type")
+                k0 = k_count
+                k_count += emit(p.bc_ids, p.ghost_sidx,
+                                [(p.bc_ids, p.f1_sidx),
+                                 (p.bc_ids, p.f2_sidx)], wbc)
+                self.bc_groups.append((d, k0, k_count, p.bc_coords,
+                                       np.asarray(gammas)))
+            # refinement boundary
+            if len(p.rb_ids):
+                n_rb = len(p.rb_ids)
+                emask = (None if rb_extrap_mask is None
+                         else rb_extrap_mask.get(d))
+                if rb_method in (RB_INTERP, RB_INTERP_LIM):
+                    limited = rb_method == RB_INTERP_LIM
+                    if ndim == 1:
+                        srcs = [(p.rb_coarse, p.rb_c1),
+                                (p.rb_ids, p.f1_sidx)]
+                        wr = np.tile([2 / 3, 1 / 3], (n_iv, 1))
+                    elif ndim == 2:
+                        srcs = [(p.rb_coarse, p.rb_c1),
+                                (p.rb_coarse, p.rb_c2),
+                                (p.rb_ids, p.f1_sidx)]
+                        wr = np.tile([0.5, 1 / 6, 1 / 3], (n_iv, 1))
+                    else:
+                        srcs = [(p.rb_coarse, p.rb_c1),
+                                (p.rb_coarse, p.rb_c2),
+                                (p.rb_coarse, p.rb_c3),
+                                (p.rb_ids, p.f1_sidx)]
+                        wr = np.tile([1 / 3, 1 / 6, 1 / 6, 1 / 3],
+                                     (n_iv, 1))
+                    k_count += emit(p.rb_ids, p.ghost_sidx, srcs, wr,
+                                    limited=limited)
+                elif rb_method == RB_PROLONG_COPY:
+                    k_count += emit(p.rb_ids, p.ghost_sidx,
+                                    [(p.rb_parent, p.rb_pcopy)], one)
+                elif rb_method == RB_MG:
+                    # linear in the coarse strip + two fine layers
+                    # (mg_sides_rb); the extrapolating veps variant uses
+                    # the parent copy and parity-swapped fine layers
+                    tgt2, sid2, ssx2, ww2, lim2 = self._rb_mg_entries(
+                        plan, p, d, n_iv, J, hnc, emask)
+                    tgt_id.append(np.repeat(p.rb_ids, F))
+                    tgt_sidx.append(tgt2)
+                    src_id.append(sid2)
+                    src_sidx.append(ssx2)
+                    w.append(ww2)
+                    lim.append(lim2)
+                    k_count += n_rb * F
+                else:
+                    raise ValueError(f"unknown rb method {rb_method}")
+
+        self.tgt_id = np.concatenate(tgt_id) if tgt_id else \
+            np.zeros(0, np.int32)
+        self.tgt_sidx = np.concatenate(tgt_sidx) if tgt_sidx else \
+            np.zeros(0, np.int32)
+        self.src_id = np.concatenate(src_id) if src_id else \
+            np.zeros((0, J), np.int32)
+        self.src_sidx = np.concatenate(src_sidx) if src_sidx else \
+            np.zeros((0, J), np.int32)
+        self.w = np.concatenate(w) if w else np.zeros((0, n_iv, J))
+        self.lim = np.concatenate(lim) if lim else np.zeros(0, bool)
+        self.any_lim = bool(self.lim.any())
+        self.ivs = np.asarray(ivs, np.int32)
+
+        # ---------------- stage 2: corners and edges (read side ghosts)
+        c_tgt_id, c_tgt_sidx, c_src_id, c_src_sidx, c_w = \
+            [], [], [], [], []
+        JC = 4
+        if corners and ndim >= 2:
+            for plans in (plan.edge_plans, plan.corner_plans):
+                for pl in plans:
+                    pl = {k: (np.atleast_1d(v) if k.endswith(("sidx",))
+                              or k.startswith("ext_")
+                              and k != "ext_ids" else v)
+                          for k, v in pl.items()}
+                    Fc = len(pl["pos_sidx"])
+                    for ids_arr, srcs, ws in (
+                        (pl["copy_ids"], [(pl["copy_ids"], None,
+                                           pl["nb_sidx"], "nb")], [1.0]),
+                        (pl["ext_ids"],
+                         ([(pl["ext_ids"], None, pl["ext_a"], "s"),
+                           (pl["ext_ids"], None, pl["ext_b"], "s"),
+                           (pl["ext_ids"], None, pl["ext_c"], "s"),
+                           (pl["ext_ids"], None, pl["ext_d"], "s")]
+                          if "ext_d" in pl else
+                          [(pl["ext_ids"], None, pl["ext_a"], "s"),
+                           (pl["ext_ids"], None, pl["ext_b"], "s"),
+                           (pl["ext_ids"], None, pl["ext_c"], "s")]),
+                         ([1.0, 1.0, 1.0, -2.0] if "ext_d" in pl
+                          else [1.0, 1.0, -1.0]))):
+                        n = len(ids_arr)
+                        if n == 0:
+                            continue
+                        c_tgt_id.append(np.repeat(ids_arr, Fc))
+                        c_tgt_sidx.append(np.tile(pl["pos_sidx"], n))
+                        sid = np.zeros((n * Fc, JC), np.int32)
+                        ssx = np.zeros((n * Fc, JC), np.int32)
+                        ww = np.zeros((n * Fc, JC))
+                        for j, (ia, _, sx, kind) in enumerate(srcs):
+                            src_ids = pl["copy_nb"] if kind == "nb" \
+                                else ia
+                            sid[:, j] = np.repeat(src_ids, Fc)
+                            ssx[:, j] = np.tile(sx, n)
+                            ww[:, j] = ws[j]
+                        c_src_id.append(sid)
+                        c_src_sidx.append(ssx)
+                        c_w.append(ww)
+        self.c_tgt_id = np.concatenate(c_tgt_id) if c_tgt_id else \
+            np.zeros(0, np.int32)
+        self.c_tgt_sidx = np.concatenate(c_tgt_sidx) if c_tgt_id else \
+            np.zeros(0, np.int32)
+        self.c_src_id = np.concatenate(c_src_id) if c_src_id else \
+            np.zeros((0, JC), np.int32)
+        self.c_src_sidx = np.concatenate(c_src_sidx) if c_src_id else \
+            np.zeros((0, JC), np.int32)
+        self.c_w = np.concatenate(c_w) if c_w else np.zeros((0, JC))
+
+    @staticmethod
+    def _rb_mg_entries(plan, p, d, n_iv, J, hnc, emask):
+        """Per-entry (src, weight) tables for the mg_sides_rb ghost scheme
+        and its extrapolating veps variant."""
+        ndim, nc = plan.ndim, plan.nc
+        F = nc ** (ndim - 1)
+        n_rb = len(p.rb_ids)
+        tgt = np.broadcast_to(p.ghost_sidx, (n_rb, F)).reshape(-1)
+        sid = np.zeros((n_rb * F, J), np.int32)
+        ssx = np.zeros((n_rb * F, J), np.int32)
+        ww = np.zeros((n_rb * F, n_iv, J))
+        f1 = np.broadcast_to(p.f1_sidx, (n_rb, F))
+        f2 = np.broadcast_to(p.f2_sidx, (n_rb, F))
+        rb_ids_rep = np.repeat(p.rb_ids, F)
+
+        if ndim == 1:
+            strip_pos = np.zeros((n_rb, 1, 3), np.int64)
+            signs = np.zeros((1,))
+            # 1D: gc = tmp[0]; ghost = 0.5 gc + .75 f1 - .25 f2
+            sid[:, 0] = np.repeat(p.rb_coarse, F)
+            ssx[:, 0] = p.rb_tmp[:, 0].repeat(F)
+            ww[:, :, 0] = 0.5
+        elif ndim == 2:
+            j = np.arange(1, nc + 1)
+            i_pair = (j + 1) // 2            # 1..hnc, strip center pos
+            sgn = np.where(j % 2 == 1, -1.0, 1.0)
+            for col, (off, wfac) in enumerate(
+                    [(0, 0.5), (1, 0.125 * 0.5), (-1, -0.125 * 0.5)]):
+                pos = np.clip(i_pair + off, 0, hnc + 1)
+                ssx[:, col] = p.rb_tmp[:, pos].reshape(-1)
+                sid[:, col] = np.repeat(p.rb_coarse, F)
+                wcol = wfac * (np.ones(F) if col == 0 else sgn)
+                ww[:, :, col] = np.tile(wcol, n_rb)[:, None]
+        else:
+            j = np.arange(1, nc + 1)
+            jj, kk = np.meshgrid(j, j, indexing="ij")
+            jj, kk = jj.ravel(), kk.ravel()
+            i1 = (jj + 1) // 2
+            i2 = (kk + 1) // 2
+            s1 = np.where(jj % 2 == 1, -1.0, 1.0)
+            s2 = np.where(kk % 2 == 1, -1.0, 1.0)
+            W = hnc + 2
+
+            def strip_at(a, b):
+                return p.rb_tmp[:, (a * W + b)].reshape(-1)
+            cols = [
+                (strip_at(i1, i2), 0.5 * np.ones(F)),
+                (strip_at(np.clip(i1 + 1, 0, W - 1), i2), 0.0625 * s1),
+                (strip_at(np.clip(i1 - 1, 0, W - 1), i2), -0.0625 * s1),
+                (strip_at(i1, np.clip(i2 + 1, 0, W - 1)), 0.0625 * s2),
+                (strip_at(i1, np.clip(i2 - 1, 0, W - 1)), -0.0625 * s2),
+            ]
+            for col, (sx, wcol) in enumerate(cols):
+                ssx[:, col] = sx
+                sid[:, col] = np.repeat(p.rb_coarse, F)
+                ww[:, :, col] = np.tile(wcol, n_rb)[:, None]
+        # fine-side terms
+        nf = 3 if ndim == 2 else (5 if ndim == 3 else 1)
+        sid[:, nf] = rb_ids_rep
+        ssx[:, nf] = f1.reshape(-1)
+        ww[:, :, nf] = 0.75
+        sid[:, nf + 1] = rb_ids_rep
+        ssx[:, nf + 1] = f2.reshape(-1)
+        ww[:, :, nf + 1] = -0.25
+
+        if emask is not None and emask.any():
+            # overwrite masked entries with the extrapolating variant
+            sel = np.repeat(emask, F)
+            prep = np.repeat(p.rb_parent, F)
+            sid[sel] = 0
+            ssx[sel] = 0
+            ww[sel] = 0.0
+            sid[sel, 0] = prep[sel]
+            ssx[sel, 0] = np.broadcast_to(
+                p.rb_pcopy, (n_rb, F)).reshape(-1)[sel]
+            ww[sel, :, 0] = 0.5
+            sid[sel, 1] = rb_ids_rep[sel]
+            ssx[sel, 1] = f1.reshape(-1)[sel]
+            sid[sel, 2] = rb_ids_rep[sel]
+            ssx[sel, 2] = f2.reshape(-1)[sel]
+            if ndim == 2:
+                swap = (np.arange(F).reshape(-1, 2)[:, ::-1]).reshape(-1)
+                f1s = f1[:, swap].reshape(-1)
+                f2s = f2[:, swap].reshape(-1)
+                ww[sel, :, 1] = 1.125
+                ww[sel, :, 2] = -0.375
+                sid[sel, 3] = rb_ids_rep[sel]
+                ssx[sel, 3] = f1s[sel]
+                ww[sel, :, 3] = -0.375
+                sid[sel, 4] = rb_ids_rep[sel]
+                ssx[sel, 4] = f2s[sel]
+                ww[sel, :, 4] = 0.125
+            else:
+                ww[sel, :, 1] = 0.75
+                ww[sel, :, 2] = -0.25
+        return tgt, sid, ssx, ww, np.zeros(n_rb * F, bool)
+
+    def __call__(self, cc, bc_fn, params):
+        import jax.numpy as jnp
+        if len(self.tgt_id) == 0 and len(self.c_tgt_id) == 0:
+            return cc
+        ivs = jnp.asarray(self.ivs)
+        if len(self.tgt_id):
+            vals = cc[ivs[:, None, None], jnp.asarray(self.src_id)[None],
+                      jnp.asarray(self.src_sidx)[None]]
+            ghost = jnp.einsum("ikj,kij->ik", vals, jnp.asarray(self.w))
+            # boundary-condition contributions
+            if self.bc_groups:
+                add = jnp.zeros(ghost.shape, ghost.dtype)
+                for (d, k0, k1, coords, gammas) in self.bc_groups:
+                    for i, iv in enumerate(self.ivs):
+                        if gammas[i] == 0.0:
+                            continue
+                        _, val = bc_fn(int(iv), d, coords, params or {})
+                        val = gammas[i] * (
+                            val + jnp.zeros((k1 - k0,)).reshape(
+                                coords.shape[0], -1)).reshape(-1)
+                        add = add.at[i, k0:k1].add(val)
+                ghost = ghost + add
+            if self.any_lim:
+                c1v = vals[:, :, 0]
+                ghost = jnp.where(jnp.asarray(self.lim)[None],
+                                  jnp.minimum(ghost, 2.0 * c1v), ghost)
+            cc = cc.at[ivs[:, None], jnp.asarray(self.tgt_id)[None],
+                       jnp.asarray(self.tgt_sidx)[None]].set(ghost)
+        if len(self.c_tgt_id):
+            vals = cc[ivs[:, None, None], jnp.asarray(self.c_src_id)[None],
+                      jnp.asarray(self.c_src_sidx)[None]]
+            ghost = jnp.einsum("ikj,kj->ik", vals, jnp.asarray(self.c_w))
+            cc = cc.at[ivs[:, None], jnp.asarray(self.c_tgt_id)[None],
+                       jnp.asarray(self.c_tgt_sidx)[None]].set(ghost)
+        return cc
+
+
+def get_fused_fill(tree: Tree, lvl: int, ivs, rb_method: str, bc_fn,
+                   params, rb_extrap_mask=None, corners: bool = True):
+    cache = getattr(tree, "_fused_gc_cache", None)
+    if cache is None or cache.get("epoch") != tree.epoch:
+        cache = {"epoch": tree.epoch}
+        tree._fused_gc_cache = cache
+    emkey = None
+    if rb_extrap_mask is not None:
+        emkey = tuple(sorted((d, m.tobytes())
+                             for d, m in rb_extrap_mask.items()))
+    key = (lvl, tuple(int(v) for v in ivs), rb_method, id(bc_fn), corners,
+           emkey)
+    if key not in cache:
+        plan = get_gc_plan(tree, lvl)
+        cache[key] = FusedGcFill(plan, ivs, rb_method, bc_fn, params,
+                                 rb_extrap_mask, corners)
+    return cache[key]
+
+
+def fill_corners_lvl(cc, plan: GcLevelPlan, ivs):
+    """Corner/edge ghost fill only (used after a fused side fill)."""
+    ivs = np.asarray(ivs, dtype=np.int32)
+    for plan_e in plan.edge_plans:
+        cc = _fill_corner_group(cc, ivs, plan_e, is_edge=True)
+    for plan_c in plan.corner_plans:
+        cc = _fill_corner_group(cc, ivs, plan_c, is_edge=False)
     return cc

@@ -1,0 +1,328 @@
+"""Fused Pallas TPU kernel for the multigrid smoother (2D).
+
+One half red-black sweep of the reference's gsrb_boxes
+(``afivo/src/m_af_multigrid.f90:648-687``) is: fill the ghost layer of
+every box on the level, then update one parity of the interior from the
+5-point stencil. As XLA ops this is ~50 small kernels per half sweep; on
+the TPU backend each op costs microseconds of fixed overhead, so the
+smoother dominates the step time. This module fuses the whole half sweep
+into ONE Pallas kernel per level:
+
+* the grid runs over the level's boxes; each program loads its own
+  (nc+2)^2 phi block plus its four same-level neighbor blocks, selected
+  with scalar-prefetched global row indices;
+* every ghost value is a uniform linear form
+  ``ghost = Wnb*nb_slab + W1*f1 + W2*f2 + W1s*swap(f1) + W2s*swap(f2) + A``
+  that covers same-level copies, physical boundaries
+  (Dirichlet/Neumann/continuous/dirichlet_copy with the boundary value
+  folded into A), the mg_sides_rb refinement-boundary scheme (the coarse
+  strip interpolation is constant during a level visit and folded into
+  A), and the extrapolating variable-eps variant (the parity-swap terms);
+* the red-black update uses per-box stencil coefficient blocks, so the
+  constant, cylindrical, variable-eps and level-set operators all work.
+
+The host (NumPy) path and the generic traced path are untouched; this
+kernel is a TPU fast path selected in Multigrid._gsrb_boxes and verified
+bitwise against the host smoother in tests/test_pallas_smoother.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import ghostcell as gc
+from ..core import spatial as sp
+from ..core.tree import Tree, NO_BOX, neighb_dim, neighb_low
+
+
+def z():
+    return np.int32(0)
+
+
+def _edge_slabs_2d(nc: int):
+    """(ghost writer, nb slab reader, f1, f2) slice info per direction."""
+    # direction d: 0 x-low, 1 x-high, 2 y-low, 3 y-high; block axes (x, y)
+    return [
+        dict(axis=0, low=True, nb_row=nc, f1_row=1, f2_row=2, g_row=0),
+        dict(axis=0, low=False, nb_row=1, f1_row=nc, f2_row=nc - 1,
+             g_row=nc + 1),
+        dict(axis=1, low=True, nb_row=nc, f1_row=1, f2_row=2, g_row=0),
+        dict(axis=1, low=False, nb_row=1, f1_row=nc, f2_row=nc - 1,
+             g_row=nc + 1),
+    ]
+
+
+class PallasSmoother2D:
+    """Static tables for the fused half sweep of one (epoch, level)."""
+
+    def __init__(self, tree: Tree, lvl: int, op, bc_fn, params,
+                 rb_extrap_mask: Optional[Dict] = None, i_phi: int = 0):
+        ndim, nc = tree.ndim, tree.nc
+        assert ndim == 2
+        self.nc = nc
+        self.i_phi = i_phi
+        plan = gc.get_gc_plan(tree, lvl)
+        ids = np.asarray(tree.lvl_ids[lvl - 1], np.int32)
+        self.ids = ids
+        n = len(ids)
+        self.n = n
+        pos = {int(b): k for k, b in enumerate(ids)}
+
+        # global row table: own + 4 neighbors (self row when absent)
+        g = np.tile(ids[:, None], (1, 5))
+        for d in range(4):
+            for k, b in enumerate(ids):
+                nb = int(tree.neighbors[int(b), d])
+                if nb >= 0:
+                    g[k, 1 + d] = nb
+        self.g = g.astype(np.int32)
+
+        # ghost linear-form coefficients per (box, dir):
+        # Wnb, W1, W2, W1s, W2s (pad to 8 for the block layout)
+        W = np.zeros((n, 4, 8))
+        # A-build recipe per (dir): lists of (kind, rows, tables...)
+        self.a_groups = []
+        for d, p in enumerate(plan.dirs):
+            for k_loc, b in enumerate(p.copy_ids):
+                W[pos[int(b)], d, 0] = 1.0
+            if len(p.bc_ids):
+                bc_type, _ = bc_fn(i_phi, d, p.bc_coords, params or {})
+                rows = np.array([pos[int(b)] for b in p.bc_ids], np.int32)
+                dim, low = neighb_dim(d), neighb_low(d)
+                if bc_type == gc.BC_DIRICHLET:
+                    W[rows, d, 1] = -1.0
+                    gamma = 2.0
+                elif bc_type == gc.BC_NEUMANN:
+                    W[rows, d, 1] = 1.0
+                    gamma = (1.0 if not low else -1.0) * plan.dr[dim]
+                elif bc_type == gc.BC_CONTINUOUS:
+                    W[rows, d, 1] = 2.0
+                    W[rows, d, 2] = -1.0
+                    gamma = 0.0
+                elif bc_type == gc.BC_DIRICHLET_COPY:
+                    gamma = 1.0
+                else:
+                    raise ValueError("unsupported bc type")
+                self.a_groups.append(("bc", d, rows, p.bc_coords, gamma))
+            if len(p.rb_ids):
+                rows = np.array([pos[int(b)] for b in p.rb_ids], np.int32)
+                emask = (None if rb_extrap_mask is None
+                         else rb_extrap_mask.get(d))
+                std = np.ones(len(rows), bool) if emask is None else ~emask
+                W[rows[std], d, 1] = 0.75
+                W[rows[std], d, 2] = -0.25
+                if emask is not None and emask.any():
+                    er = rows[emask]
+                    W[er, d, 1] = 1.125
+                    W[er, d, 2] = -0.375
+                    W[er, d, 3] = -0.375
+                    W[er, d, 4] = 0.125
+                self.a_groups.append(
+                    ("rb", d, rows, p, emask))
+        self.W = W
+        #: whether any parity-swap (veps extrapolation) terms are present
+        self.has_swap = bool(np.any(W[:, :, 3:5] != 0.0))
+
+        # stencil coefficient blocks [n, 5, nc, nc]: c0 + 4 neighbor coeffs
+        # (scalar / cylindrical [n, nc, 1] / per-cell all broadcast)
+        cs = np.zeros((n, 5, nc, nc))
+        shape = (n, nc, nc)
+        cs[:, 0] = np.broadcast_to(np.asarray(op.c0), shape)
+        for d in range(4):
+            cs[:, 1 + d] = np.broadcast_to(np.asarray(op.c_nb[d]), shape)
+        self.cs = cs
+        self._op = op
+        self._bc_fn = bc_fn
+
+    # -------------------------------------------------- per-visit consts
+    def build_consts(self, cc, i_phi, i_rhs, params, phi_b):
+        """A[n, 4, nc] ghost constants and the rhs block incl. internal-
+        boundary corrections; evaluated once per level visit."""
+        nc, n = self.nc, self.n
+        ids = jnp.asarray(self.ids)
+        A = jnp.zeros((n, 4, nc), cc.dtype)
+        for grp in self.a_groups:
+            if grp[0] == "bc":
+                _, d, rows, coords, gamma = grp
+                if gamma == 0.0:
+                    continue
+                _, val = self._bc_fn(self.i_phi, d, coords, params or {})
+                val = gamma * (jnp.asarray(val, cc.dtype)
+                               + jnp.zeros((len(rows), nc), cc.dtype))
+                A = A.at[jnp.asarray(rows), d].add(val)
+            else:
+                _, d, rows, p, emask = grp
+                # standard entries: A = 0.5 * interp(coarse strip)
+                tmp = cc[i_phi, jnp.asarray(p.rb_coarse)[:, None],
+                         jnp.asarray(p.rb_tmp)]
+                gci = gc._mg_rb_interp(tmp[None], 2, nc)[0]
+                contrib = 0.5 * gci
+                if emask is not None and emask.any():
+                    # extrapolating entries use the parent copy instead
+                    pc = cc[i_phi, jnp.asarray(p.rb_parent)[:, None],
+                            jnp.asarray(p.rb_pcopy)]
+                    contrib = jnp.where(jnp.asarray(emask)[:, None],
+                                        0.5 * pc, contrib)
+                A = A.at[jnp.asarray(rows), d].add(contrib)
+        # rhs block + lsf boundary correction
+        interior = sp.interior_flat(2, nc)
+        R = cc[i_rhs, ids[:, None], jnp.asarray(interior)[None, :]]
+        R = R.reshape(n, nc, nc)
+        if self._op.f is not None:
+            corr = self._op.bc_corr(phi_b)
+            R = R + jnp.asarray(corr).reshape(n, nc, nc)
+        return A, R
+
+    # --------------------------------------------------------- kernels
+    def sweep(self, phi3, R, mask, interpret: bool = False):
+        """Red-black interior update using the blocks' current ghosts
+        (matches the host order: sweep first, then ghost exchange).
+        phi3: [cap, C, C]; returns updated [n, C, C] blocks."""
+        nc, n = self.nc, self.n
+        C = nc + 2
+        cs = jnp.asarray(self.cs, phi3.dtype)
+
+        def kernel(g0, g1, g2, g3, g4, own_ref, cs_ref, R_ref, M_ref,
+                   o_ref):
+            B = own_ref[0]
+            c = cs_ref[0]
+            off = (c[1] * B[0:nc, 1:nc + 1] + c[2] * B[2:nc + 2, 1:nc + 1]
+                   + c[3] * B[1:nc + 1, 0:nc] + c[4] * B[1:nc + 1, 2:nc + 2])
+            new = (R_ref[0] - off) / c[0]
+            upd = jnp.where(M_ref[...] > 0, new, B[1:nc + 1, 1:nc + 1])
+            o_ref[0] = B
+            o_ref[0, 1:nc + 1, 1:nc + 1] = upd
+
+        # int32 prefetch indices (the backend cannot pass s64 operands to
+        # the custom call); the index maps below return int32 constants so
+        # the Mosaic transform is type-consistent under jax_enable_x64
+        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(5)]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(n,),
+                in_specs=[
+                    pl.BlockSpec((1, C, C),
+                                 lambda i, g0, g1, g2, g3, g4:
+                                 (g0[i], z(), z())),
+                    pl.BlockSpec((1, 5, nc, nc),
+                                 lambda i, *g: (i, z(), z(), z())),
+                    pl.BlockSpec((1, nc, nc), lambda i, *g: (i, z(), z())),
+                    pl.BlockSpec((nc, nc), lambda i, *g: (z(), z())),
+                ],
+                out_specs=pl.BlockSpec((1, C, C), lambda i, *g: (i, z(), z())),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, C, C), phi3.dtype),
+            interpret=interpret,
+        )(*gs, phi3, cs, R, mask)
+
+    def fill(self, phi3, A, interpret: bool = False):
+        """Ghost exchange: every side ghost from the uniform linear form
+        over the (updated) neighbor slab and own edge layers."""
+        nc, n = self.nc, self.n
+        C = nc + 2
+        slabs = _edge_slabs_2d(nc)
+        W = jnp.asarray(self.W, phi3.dtype)
+
+        par = jnp.asarray((np.arange(nc) % 2 == 0).astype(np.float32))
+
+        def kernel(g0, g1, g2, g3, g4, own_ref, nb0_ref, nb1_ref,
+                   nb2_ref, nb3_ref, W_ref, A_ref, o_ref):
+            B = own_ref[0]
+            nbs = (nb0_ref[0], nb1_ref[0], nb2_ref[0], nb3_ref[0])
+            rows = []
+            cols = []
+            for d, s in enumerate(slabs):
+                nb = nbs[d]
+                if s["axis"] == 0:
+                    slab = nb[s["nb_row"], 1:nc + 1]
+                    f1 = B[s["f1_row"], 1:nc + 1]
+                    f2 = B[s["f2_row"], 1:nc + 1]
+                else:
+                    slab = nb[1:nc + 1, s["nb_row"]]
+                    f1 = B[1:nc + 1, s["f1_row"]]
+                    f2 = B[1:nc + 1, s["f2_row"]]
+                w = W_ref[0, d]
+                ghost = (w[0] * slab + w[1] * f1 + w[2] * f2
+                         + A_ref[0, d])
+                if self.has_swap:
+                    # adjacent-pair swap via rolls + parity select
+                    # (reshape-based swaps do not lower on this backend)
+                    f1s = jnp.where(par > 0, jnp.roll(f1, -1),
+                                    jnp.roll(f1, 1))
+                    f2s = jnp.where(par > 0, jnp.roll(f2, -1),
+                                    jnp.roll(f2, 1))
+                    ghost = ghost + w[3] * f1s + w[4] * f2s
+                if s["axis"] == 0:
+                    rows.append((s["g_row"], ghost))
+                else:
+                    cols.append((s["g_row"], ghost))
+            # rebuild B with the new ghost rows/columns (corners kept)
+            row_lo = jnp.concatenate(
+                [B[0:1, 0:1], rows[0][1][None, :], B[0:1, nc + 1:]], 1)
+            row_hi = jnp.concatenate(
+                [B[nc + 1:, 0:1], rows[1][1][None, :],
+                 B[nc + 1:, nc + 1:]], 1)
+            Bmid = B[1:nc + 1]
+            col_lo = cols[0][1][:, None]
+            col_hi = cols[1][1][:, None]
+            Bmid = jnp.concatenate([col_lo, Bmid[:, 1:nc + 1], col_hi], 1)
+            o_ref[0] = jnp.concatenate([row_lo, Bmid, row_hi], 0)
+
+        # int32 prefetch indices (the backend cannot pass s64 operands to
+        # the custom call); the index maps below return int32 constants so
+        # the Mosaic transform is type-consistent under jax_enable_x64
+        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(5)]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(n,),
+                in_specs=[
+                    pl.BlockSpec((1, C, C),
+                                 lambda i, g0, g1, g2, g3, g4:
+                                 (g0[i], z(), z())),
+                    pl.BlockSpec((1, C, C),
+                                 lambda i, g0, g1, g2, g3, g4:
+                                 (g1[i], z(), z())),
+                    pl.BlockSpec((1, C, C),
+                                 lambda i, g0, g1, g2, g3, g4:
+                                 (g2[i], z(), z())),
+                    pl.BlockSpec((1, C, C),
+                                 lambda i, g0, g1, g2, g3, g4:
+                                 (g3[i], z(), z())),
+                    pl.BlockSpec((1, C, C),
+                                 lambda i, g0, g1, g2, g3, g4:
+                                 (g4[i], z(), z())),
+                    pl.BlockSpec((1, 4, 8), lambda i, *g: (i, z(), z())),
+                    pl.BlockSpec((1, 4, nc), lambda i, *g: (i, z(), z())),
+                ],
+                out_specs=pl.BlockSpec((1, C, C), lambda i, *g: (i, z(), z())),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, C, C), phi3.dtype),
+            interpret=interpret,
+        )(*gs, phi3, phi3, phi3, phi3, phi3, W, A)
+
+
+def get_pallas_smoother(tree: Tree, lvl: int, op, bc_fn, params,
+                        rb_extrap_mask=None, bc_key=(), i_phi: int = 0):
+    cache = getattr(tree, "_pallas_sm_cache", None)
+    if cache is None or cache.get("epoch") != tree.epoch:
+        cache = {"epoch": tree.epoch}
+        tree._pallas_sm_cache = cache
+    emkey = None
+    if rb_extrap_mask is not None:
+        emkey = tuple(sorted((d, m.tobytes())
+                             for d, m in rb_extrap_mask.items()))
+    key = (lvl, id(op), bc_key, emkey, i_phi)
+    if key not in cache:
+        cache[key] = PallasSmoother2D(tree, lvl, op, bc_fn, params,
+                                      rb_extrap_mask, i_phi=i_phi)
+    return cache[key]

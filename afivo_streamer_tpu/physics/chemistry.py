@@ -550,9 +550,9 @@ class Chemistry:
         return full, derivs
 
     def _device(self, name):
-        if name not in self._dev:
-            self._dev[name] = jnp.asarray(getattr(self, name))
-        return self._dev[name]
+        # no caching (a traced jnp.asarray is a jaxpr-local constant that
+        # must not escape the trace); XLA dedups the constant
+        return jnp.asarray(getattr(self, name))
 
     def stoich_matrix(self) -> np.ndarray:
         """Net stoichiometry [n_reactions, n_species]

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -259,8 +261,7 @@ class Multigrid:
                                         level1_op=op1)
         return self._coarse
 
-    def _gc_lvl(self, cc, lvl: int, params, corners: bool = True):
-        plan = gc.get_gc_plan(self.tree, lvl)
+    def _veps_mask(self, lvl: int, plan):
         veps = None
         if self.eps_data is not None:
             op = self._op(lvl)
@@ -273,6 +274,11 @@ class Multigrid:
                     if len(pd.rb_ids):
                         veps[d] = np.array(
                             [op.veps[pos[int(b)]] for b in pd.rb_ids])
+        return veps
+
+    def _gc_lvl(self, cc, lvl: int, params, corners: bool = True):
+        plan = gc.get_gc_plan(self.tree, lvl)
+        veps = self._veps_mask(lvl, plan)
         return gc.fill_ghosts_lvl(cc, plan, [self.i_phi], gc.RB_MG,
                                   self.sides_bc, params, corners=corners,
                                   rb_extrap_mask=veps)
@@ -307,6 +313,56 @@ class Multigrid:
                 cc = half_sweep(cc, n, None,
                                 up_cycle and (n == n_half))
             return cc
+
+        # Pallas fast path (2D, f32, TPU): the whole half sweep is two
+        # fused kernels (red-black update + ghost exchange) instead of
+        # ~50 small XLA ops (ops/pallas_smoother.py)
+        interp = os.environ.get("AFIVO_PALLAS", "") == "interpret"
+        if ndim == 2 and (interp or (
+                cc.dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and os.environ.get("AFIVO_PALLAS", "1") != "0")):
+            from ..ops.pallas_smoother import PallasSmoother2D
+            plan = gc.get_gc_plan(t, lvl)
+            veps = self._veps_mask(lvl, plan)
+            bc_key = tuple(
+                (d, self.sides_bc(self.i_phi, d, p.bc_coords, params)[0])
+                for d, p in enumerate(plan.dirs) if len(p.bc_ids))
+            emkey = None if veps is None else tuple(
+                sorted((d, m.tobytes()) for d, m in veps.items()))
+            cache = self.__dict__.setdefault("_pallas_sm", {})
+            key = (t.epoch, lvl, bc_key, emkey)
+            cache_clean = {k: v for k, v in cache.items()
+                           if k[0] == t.epoch}
+            if key not in cache_clean:
+                cache_clean[key] = PallasSmoother2D(
+                    t, lvl, op, self.sides_bc, params, veps,
+                    i_phi=self.i_phi)
+            self._pallas_sm = cache_clean
+            sm = cache_clean[key]
+            A, R_blk = sm.build_consts(cc, self.i_phi, self.i_rhs, params,
+                                       phi_b)
+            cap = cc.shape[1]
+            C = nc + 2
+            phi3 = cc[self.i_phi].reshape(cap, C, C)
+            idsj = jnp.asarray(np.asarray(ids))
+            masks = jnp.asarray(np.stack(
+                [_parity_mask(2, nc, n).astype(np.float32)
+                 for n in range(1, n_half + 1)]))
+
+            def body(p3, mask):
+                out = sm.sweep(p3, R_blk, mask, interpret=interp)
+                p3 = p3.at[idsj].set(out)
+                out = sm.fill(p3, A, interpret=interp)
+                return p3.at[idsj].set(out), None
+
+            phi3, _ = jax.lax.scan(body, phi3, masks)
+            cc = cc.at[self.i_phi].set(phi3.reshape(cap, -1))
+            if up_cycle:
+                # corner ghosts stored on the final upward half sweep
+                cc = gc.fill_corners_lvl(cc, plan, [self.i_phi])
+            return cc
+
         # traced: scan over the first half sweeps (one traced body), with
         # the final sweep outside the scan (it may store corner ghosts)
         if n_half > 1:

@@ -124,9 +124,10 @@ class LookupTable:
         return low_frac * col[low_ix - 1] + (1.0 - low_frac) * col[low_ix]
 
     def device_cols(self):
-        if self._device_cols is None:
-            self._device_cols = jnp.asarray(self.rows_cols)
-        return self._device_cols
+        # no caching: inside a trace jnp.asarray yields a jaxpr constant
+        # (a tracer) that must not outlive the trace; XLA dedups the
+        # embedded constant across uses anyway
+        return jnp.asarray(self.rows_cols)
 
     def get_col_device(self, cols_rows_device, col_ix: int, x):
         """Lookup with an explicitly passed device copy of the table (so the
