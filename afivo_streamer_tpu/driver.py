@@ -494,6 +494,8 @@ class Simulation:
                                          i_eps=self.i_eps)
             self.field.surfaces = self.surfaces
             self.fluid.dielectric = self.dielectric
+            if self.photoi.enabled and self.photoi.mc is not None:
+                self.photoi.mc.dielectric = self.dielectric
             # full charges of the flux species + positive-ion flux list
             ngas = self.chem.n_gas_species
             charges = []

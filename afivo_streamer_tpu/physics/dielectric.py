@@ -34,15 +34,27 @@ class Dielectric:
         self.idx_eps = i_eps
         self.flux_species_charge = None
         self.flux_pos_ion = []
-        self.gamma_se_ph = cfg.add_get(
-            "dielectric%gamma_se_ph_highfield", 0.0,
-            "Secondary electron emission coefficient for photons")
+        self.photon_step_length = cfg.add_get(
+            "dielectric%photon_step_length", 1.0e-3,
+            "Maximum travel distance for testing boundary intersection")
+        self.gamma_se_ph_he = cfg.add_get(
+            "dielectric%gamma_se_ph_highenergy", 0.1,
+            "Secondary electron emission coefficient for high energy "
+            "photons")
+        self.gamma_se_ph_le = cfg.add_get(
+            "dielectric%gamma_se_ph_lowenergy", 0.1,
+            "Secondary electron emission coefficient for low energy "
+            "photons")
         self.gamma_se_ion = cfg.add_get(
             "dielectric%gamma_se_ion", 0.1,
-            "Secondary electron emission coefficient for ions")
+            "Secondary electron emission coefficient for positive ion "
+            "impact")
+        self.photons_no_absorption = cfg.add_get(
+            "dielectric%photons_no_absorption", False,
+            "Assume photons are not absorbed for photoemission computation")
         self.preset_charge = cfg.add_get(
-            "dielectric%preset_charge", 0.0,
-            "Preset surface charge density")
+            "dielectric%preset_charge", [0.0],
+            "preset nonuniform surface charge")
 
     def update_surface_charge(self, cc, fc, dt: float, s_prev: List[int],
                               w_prev: List[float], s_out: int,
@@ -107,16 +119,13 @@ class Dielectric:
         for s in self.surf.active():
             s.sd[self.I_PHOTON_FLUX] = 0.0
 
-    def photon_absorption(self, xyz_src, xyz_abs, weight: float):
-        """Intercept MC photons crossing a surface: absorb them at the
-        surface and accumulate a photon flux (dielectric_photon_absorption).
-        Simplified segment-surface intersection against axis-aligned
-        surface faces; returns a mask of absorbed photons."""
+    def _deposit_photons(self, xyz_src, xyz_abs, weight, frac_gamma,
+                         skip=None):
+        """Deposit frac_gamma * weight / area onto the surface cells hit by
+        the photon segments; returns the hit mask."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        absorbed = np.zeros(len(xyz_src), dtype=bool)
-        if self.gamma_se_ph <= 0:
-            return absorbed
+        hit_any = np.zeros(len(xyz_src), dtype=bool)
         for s in self.surf.active():
             d = s.direction
             dim, low = neighb_dim(d), neighb_low(d)
@@ -127,7 +136,9 @@ class Dielectric:
             tdims = [k for k in range(ndim) if k != dim]
             a = xyz_src[:, dim]
             b = xyz_abs[:, dim]
-            crosses = ((a - plane) * (b - plane) < 0) & ~absorbed
+            crosses = ((a - plane) * (b - plane) < 0) & ~hit_any
+            if skip is not None:
+                crosses &= ~skip
             if not crosses.any():
                 continue
             # intersection point within the surface extent?
@@ -143,6 +154,33 @@ class Dielectric:
             sel = np.nonzero(crosses)[0][ok]
             area = np.prod([dr[k] for k in tdims]) if tdims else 1.0
             np.add.at(s.sd[self.I_PHOTON_FLUX], cell[ok],
-                      self.gamma_se_ph * weight / area)
-            absorbed[sel] = True
+                      frac_gamma * weight / area)
+            hit_any[sel] = True
+        return hit_any
+
+    def photon_absorption(self, xyz_src, xyz_abs, weight: float):
+        """Intercept MC photons crossing a surface
+        (dielectric_photon_absorption, ``m_dielectric.f90:243-336``):
+        photons absorbed within their travel path deposit both the
+        high-energy and low-energy photoemission fractions and are
+        removed; with dielectric%photons_no_absorption the flight paths
+        are extended across the domain and deposit only the low-energy
+        fraction (segment-plane intersection against the axis-aligned
+        surface faces replaces the reference's stepping + bisection).
+        Returns the mask of absorbed photons."""
+        t = self.tree
+        if self.gamma_se_ph_he <= 0 and self.gamma_se_ph_le <= 0:
+            return np.zeros(len(xyz_src), dtype=bool)
+        absorbed = self._deposit_photons(
+            xyz_src, xyz_abs, weight,
+            self.gamma_se_ph_he + self.gamma_se_ph_le)
+        if self.photons_no_absorption and len(xyz_src):
+            # extend the unabsorbed photons' paths across the domain
+            dvec = xyz_abs - xyz_src
+            norm = np.maximum(np.linalg.norm(dvec, axis=1, keepdims=True),
+                              1e-300)
+            L = float(np.linalg.norm(t.domain_len))
+            far = xyz_abs + dvec / norm * L
+            self._deposit_photons(xyz_abs, far, weight,
+                                  self.gamma_se_ph_le, skip=absorbed)
         return absorbed

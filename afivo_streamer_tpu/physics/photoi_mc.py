@@ -93,6 +93,7 @@ class PhotoiMC:
         self.tree = tree
         self.gas = gas
         self.st = settings
+        self.dielectric = None  # wired by the driver when use_dielectric
         self.physical_photons = cfg.add_get(
             "photoi_mc%physical_photons", True,
             "Whether physical photons are used")
@@ -166,6 +167,11 @@ class PhotoiMC:
         i_photo = photoi.i_photo
         interior = sp.interior_flat(ndim, nc)
 
+        if self.dielectric is not None:
+            # clear accumulated surface photon fluxes
+            # (phmc_set_src, m_photoi_mc.f90:415)
+            self.dielectric.reset_photons()
+
         sum_rate = red.tree_sum_cc(cc, t, i_src)
         small = 1e-100
         if dt is not None and self.physical_photons:
@@ -231,6 +237,18 @@ class PhotoiMC:
                 [np.sqrt(p3[:, 0] ** 2 + p3[:, 2] ** 2), p3[:, 1]], axis=1)
         else:
             abs_pos = xyz + dist[:, None] * v[:, :ndim]
+
+        # ---- photons hitting dielectric surfaces are handled separately
+        # (phmc_set_src, m_photoi_mc.f90:466-482)
+        if self.dielectric is not None:
+            absorbed = self.dielectric.photon_absorption(
+                xyz, abs_pos, 1.0 / dt_fac)
+            if absorbed.any():
+                keep = ~absorbed
+                xyz, abs_pos = xyz[keep], abs_pos[keep]
+                n_used = len(xyz)
+                if n_used == 0:
+                    return self._clear_photo(cc, i_photo)
 
         # ---- deposit on the absorption level
         if self.const_dx:
