@@ -264,6 +264,7 @@ class Simulation:
         self.global_displ_current = 0.0
         self.wc = {k: 0.0 for k in ("flux", "source", "copy", "field",
                                     "output", "refine", "photoi")}
+        self.fluid.wc = self.wc
         self._photoi_prev_time = 0.0
         self.refine_prepulse_time = cfg.add_get(
             "refine_prepulse_time", 1.0e-9,

@@ -374,6 +374,7 @@ class FluidModel:
         self.prolong_limiter = prolong_limiter
         self.limiter = limiter
         self.field_compute = None  # wired by the simulation (m_field)
+        self.wc = None             # wall-clock breakdown dict (driver)
         self.mask_provider = None  # callable(lvl) -> bool mask [n_leaves, C]
         self.dielectric = None     # wired when use_dielectric
         self.last_diag = {}
@@ -1036,12 +1037,23 @@ class FluidModel:
         """One explicit sub-step (forward_euler, ``m_fluid.f90:21-99``).
 
         Returns (cc, fc, dt_lim, diag)."""
+        import time as _time
         last_step = i_step == n_steps
         if i_step > 1 and self.field_compute is not None:
+            t0 = _time.time()
             cc, fc = self.field_compute(cc, fc, s_deriv, time, True, params)
+            if self.wc is not None:
+                self.wc["field"] += _time.time() - t0
+        t0 = _time.time()
         cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv, params)
+        t1 = _time.time()
         cc, dt_chem, diag = self.update_densities(
             cc, fc, dt, s_deriv, s_prev, w_prev, s_out, last_step, params)
+        if self.wc is not None:
+            # cost breakdown (wc_time_flux / wc_time_source,
+            # m_fluid.f90:57-75); only meaningful on the host path
+            self.wc["flux"] += t1 - t0
+            self.wc["source"] += _time.time() - t1
         if self.dielectric is not None:
             # surface charge from fluxes + SE + photon emission
             # (forward_euler, m_fluid.f90:77-94)
