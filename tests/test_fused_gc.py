@@ -47,7 +47,7 @@ def test_fused_matches_host(ndim, method):
     batch = BoxBatch(t, nv, 0)
     rng = np.random.default_rng(3)
     cc_host = rng.random(np.asarray(batch.cc).shape)
-    cc_dev = jnp.asarray(cc_host)
+    cc_dev = jnp.array(cc_host, copy=True)
     params = {"voltage": 7.5}
     ivs = [0, 2]
     for lvl in range(1, t.highest_lvl + 1):
@@ -65,7 +65,7 @@ def test_fused_matches_host_extrap_2d():
     batch = BoxBatch(t, 2, 0)
     rng = np.random.default_rng(5)
     cc_host = rng.random(np.asarray(batch.cc).shape)
-    cc_dev = jnp.asarray(cc_host)
+    cc_dev = jnp.array(cc_host, copy=True)
     params = {}
     for lvl in range(1, t.highest_lvl + 1):
         plan = gc.get_gc_plan(t, lvl)

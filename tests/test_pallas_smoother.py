@@ -50,7 +50,7 @@ def test_pallas_vcycle_matches_host(coord, monkeypatch):
     params = {"voltage": 25.0}
     mg = Multigrid(t, I_PHI, I_RHS, I_TMP, bc)
     cc_h = mg.fill_ghosts_phi(cc_h, params)
-    cc_d = jnp.asarray(cc_h)
+    cc_d = jnp.array(cc_h, copy=True)
     for _ in range(2):
         cc_h = mg.fas_vcycle(cc_h, params)
         cc_d = mg.fas_vcycle(cc_d, params)
@@ -75,7 +75,7 @@ def test_pallas_vcycle_matches_host_lsf(monkeypatch):
     params = {"voltage": 25.0, "lsf_phi_b": 100.0}
     mg = Multigrid(t, I_PHI, I_RHS, I_TMP, bc, lsf_data=lsf_data)
     cc_h = mg.fill_ghosts_phi(cc_h, params)
-    cc_d = jnp.asarray(cc_h)
+    cc_d = jnp.array(cc_h, copy=True)
     for _ in range(2):
         cc_h = mg.fas_vcycle(cc_h, params)
         cc_d = mg.fas_vcycle(cc_d, params)
