@@ -326,3 +326,211 @@ def get_pallas_smoother(tree: Tree, lvl: int, op, bc_fn, params,
         cache[key] = PallasSmoother2D(tree, lvl, op, bc_fn, params,
                                       rb_extrap_mask, i_phi=i_phi)
     return cache[key]
+
+
+class PallasSmoother3D:
+    """Fused half sweep for 3D levels: same design as PallasSmoother2D
+    with six neighbor blocks and 2D ghost faces written by direct
+    sub-slab stores (the 3D extrapolating veps variant uses the 1D form,
+    matching the host fallback, so no parity-swap terms)."""
+
+    def __init__(self, tree: Tree, lvl: int, op, bc_fn, params,
+                 rb_extrap_mask: Optional[Dict] = None, i_phi: int = 0):
+        ndim, nc = tree.ndim, tree.nc
+        assert ndim == 3
+        self.nc = nc
+        self.i_phi = i_phi
+        plan = gc.get_gc_plan(tree, lvl)
+        ids = np.asarray(tree.lvl_ids[lvl - 1], np.int32)
+        self.ids = ids
+        n = len(ids)
+        self.n = n
+        pos = {int(b): k for k, b in enumerate(ids)}
+
+        g = np.tile(ids[:, None], (1, 7))
+        for d in range(6):
+            for k, b in enumerate(ids):
+                nb = int(tree.neighbors[int(b), d])
+                if nb >= 0:
+                    g[k, 1 + d] = nb
+        self.g = g.astype(np.int32)
+
+        W = np.zeros((n, 6, 8))
+        self.a_groups = []
+        for d, p in enumerate(plan.dirs):
+            for b in p.copy_ids:
+                W[pos[int(b)], d, 0] = 1.0
+            if len(p.bc_ids):
+                bc_type, _ = bc_fn(i_phi, d, p.bc_coords, params or {})
+                rows = np.array([pos[int(b)] for b in p.bc_ids], np.int32)
+                dim, low = neighb_dim(d), neighb_low(d)
+                if bc_type == gc.BC_DIRICHLET:
+                    W[rows, d, 1] = -1.0
+                    gamma = 2.0
+                elif bc_type == gc.BC_NEUMANN:
+                    W[rows, d, 1] = 1.0
+                    gamma = (1.0 if not low else -1.0) * plan.dr[dim]
+                elif bc_type == gc.BC_CONTINUOUS:
+                    W[rows, d, 1] = 2.0
+                    W[rows, d, 2] = -1.0
+                    gamma = 0.0
+                elif bc_type == gc.BC_DIRICHLET_COPY:
+                    gamma = 1.0
+                else:
+                    raise ValueError("unsupported bc type")
+                self.a_groups.append(("bc", d, rows, p.bc_coords, gamma))
+            if len(p.rb_ids):
+                rows = np.array([pos[int(b)] for b in p.rb_ids], np.int32)
+                emask = (None if rb_extrap_mask is None
+                         else rb_extrap_mask.get(d))
+                # standard + extrapolating 3D forms share the fine-side
+                # coefficients (the host 3D extrap falls back to the 1D
+                # form, ghostcell._rb_extrap_ghost)
+                W[rows, d, 1] = 0.75
+                W[rows, d, 2] = -0.25
+                self.a_groups.append(("rb", d, rows, p, emask))
+        self.W = W
+
+        cs = np.zeros((n, 7, nc, nc, nc))
+        shape = (n, nc, nc, nc)
+        cs[:, 0] = np.broadcast_to(np.asarray(op.c0), shape)
+        for d in range(6):
+            cs[:, 1 + d] = np.broadcast_to(np.asarray(op.c_nb[d]), shape)
+        self.cs = cs
+        self._op = op
+        self._bc_fn = bc_fn
+
+    def build_consts(self, cc, i_phi, i_rhs, params, phi_b):
+        nc, n = self.nc, self.n
+        ids = jnp.asarray(self.ids)
+        A = jnp.zeros((n, 6, nc * nc), cc.dtype)
+        for grp in self.a_groups:
+            if grp[0] == "bc":
+                _, d, rows, coords, gamma = grp
+                if gamma == 0.0:
+                    continue
+                _, val = self._bc_fn(self.i_phi, d, coords, params or {})
+                val = gamma * (jnp.asarray(val, cc.dtype)
+                               + jnp.zeros((len(rows), nc * nc), cc.dtype))
+                A = A.at[jnp.asarray(rows), d].add(val)
+            else:
+                _, d, rows, p, emask = grp
+                tmp = cc[i_phi, jnp.asarray(p.rb_coarse)[:, None],
+                         jnp.asarray(p.rb_tmp)]
+                gci = gc._mg_rb_interp(tmp[None], 3, nc)[0]
+                contrib = 0.5 * gci
+                if emask is not None and emask.any():
+                    pc = cc[i_phi, jnp.asarray(p.rb_parent)[:, None],
+                            jnp.asarray(p.rb_pcopy)]
+                    contrib = jnp.where(jnp.asarray(emask)[:, None],
+                                        0.5 * pc, contrib)
+                A = A.at[jnp.asarray(rows), d].add(contrib)
+        interior = sp.interior_flat(3, nc)
+        R = cc[i_rhs, ids[:, None], jnp.asarray(interior)[None, :]]
+        R = R.reshape(n, nc, nc, nc)
+        if self._op.f is not None:
+            corr = self._op.bc_corr(phi_b)
+            R = R + jnp.asarray(corr).reshape(n, nc, nc, nc)
+        return A.reshape(n, 6, nc, nc), R
+
+    def sweep(self, phi3, R, mask, interpret: bool = False):
+        nc, n = self.nc, self.n
+        C = nc + 2
+        cs = jnp.asarray(self.cs, phi3.dtype)
+
+        def kernel(g0, g1, g2, g3, g4, g5, g6, own_ref, cs_ref, R_ref,
+                   M_ref, o_ref):
+            B = own_ref[0]
+            c = cs_ref[0]
+            off = (c[1] * B[0:nc, 1:nc + 1, 1:nc + 1]
+                   + c[2] * B[2:nc + 2, 1:nc + 1, 1:nc + 1]
+                   + c[3] * B[1:nc + 1, 0:nc, 1:nc + 1]
+                   + c[4] * B[1:nc + 1, 2:nc + 2, 1:nc + 1]
+                   + c[5] * B[1:nc + 1, 1:nc + 1, 0:nc]
+                   + c[6] * B[1:nc + 1, 1:nc + 1, 2:nc + 2])
+            new = (R_ref[0] - off) / c[0]
+            upd = jnp.where(M_ref[...] > 0, new,
+                            B[1:nc + 1, 1:nc + 1, 1:nc + 1])
+            o_ref[0] = B
+            o_ref[0, 1:nc + 1, 1:nc + 1, 1:nc + 1] = upd
+
+        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(7)]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(n,),
+                in_specs=[
+                    pl.BlockSpec((1, C, C, C),
+                                 lambda i, g0, *g: (g0[i], z(), z(), z())),
+                    pl.BlockSpec((1, 7, nc, nc, nc),
+                                 lambda i, *g: (i, z(), z(), z(), z())),
+                    pl.BlockSpec((1, nc, nc, nc),
+                                 lambda i, *g: (i, z(), z(), z())),
+                    pl.BlockSpec((nc, nc, nc),
+                                 lambda i, *g: (z(), z(), z())),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, C, C, C), lambda i, *g: (i, z(), z(), z())),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, C, C, C), phi3.dtype),
+            interpret=interpret,
+        )(*gs, phi3, cs, R, mask)
+
+    def fill(self, phi3, A, interpret: bool = False):
+        nc, n = self.nc, self.n
+        C = nc + 2
+        W = jnp.asarray(self.W, phi3.dtype)
+        faces = [
+            (0, True, nc, 1, 2, 0), (0, False, 1, nc, nc - 1, nc + 1),
+            (1, True, nc, 1, 2, 0), (1, False, 1, nc, nc - 1, nc + 1),
+            (2, True, nc, 1, 2, 0), (2, False, 1, nc, nc - 1, nc + 1),
+        ]
+
+        def face_slab(B, axis, row):
+            if axis == 0:
+                return B[row, 1:nc + 1, 1:nc + 1]
+            if axis == 1:
+                return B[1:nc + 1, row, 1:nc + 1]
+            return B[1:nc + 1, 1:nc + 1, row]
+
+        def kernel(g0, g1, g2, g3, g4, g5, g6, own_ref, n0, n1, n2, n3,
+                   n4, n5, W_ref, A_ref, o_ref):
+            B = own_ref[0]
+            nbs = (n0[0], n1[0], n2[0], n3[0], n4[0], n5[0])
+            o_ref[0] = B
+            for d, (axis, low, nb_row, f1_row, f2_row, g_row) in \
+                    enumerate(faces):
+                slab = face_slab(nbs[d], axis, nb_row)
+                f1 = face_slab(B, axis, f1_row)
+                f2 = face_slab(B, axis, f2_row)
+                w = W_ref[0, d]
+                ghost = (w[0] * slab + w[1] * f1 + w[2] * f2
+                         + A_ref[0, d])
+                if axis == 0:
+                    o_ref[0, g_row, 1:nc + 1, 1:nc + 1] = ghost
+                elif axis == 1:
+                    o_ref[0, 1:nc + 1, g_row, 1:nc + 1] = ghost
+                else:
+                    o_ref[0, 1:nc + 1, 1:nc + 1, g_row] = ghost
+
+        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(7)]
+        def gsel(k):
+            return lambda i, *g: (g[k][i], z(), z(), z())
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=7,
+                grid=(n,),
+                in_specs=(
+                    [pl.BlockSpec((1, C, C, C), gsel(k))
+                     for k in range(7)]
+                    + [pl.BlockSpec((1, 6, 8), lambda i, *g: (i, z(), z())),
+                       pl.BlockSpec((1, 6, nc, nc),
+                                    lambda i, *g: (i, z(), z(), z()))]),
+                out_specs=pl.BlockSpec(
+                    (1, C, C, C), lambda i, *g: (i, z(), z(), z())),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, C, C, C), phi3.dtype),
+            interpret=interpret,
+        )(*gs, phi3, phi3, phi3, phi3, phi3, phi3, phi3, W, A)

@@ -318,11 +318,12 @@ class Multigrid:
         # fused kernels (red-black update + ghost exchange) instead of
         # ~50 small XLA ops (ops/pallas_smoother.py)
         interp = os.environ.get("AFIVO_PALLAS", "") == "interpret"
-        if ndim == 2 and (interp or (
+        if ndim in (2, 3) and (interp or (
                 cc.dtype == jnp.float32
                 and jax.default_backend() == "tpu"
                 and os.environ.get("AFIVO_PALLAS", "1") != "0")):
-            from ..ops.pallas_smoother import PallasSmoother2D
+            from ..ops.pallas_smoother import (PallasSmoother2D,
+                                               PallasSmoother3D)
             plan = gc.get_gc_plan(t, lvl)
             veps = self._veps_mask(lvl, plan)
             bc_key = tuple(
@@ -335,7 +336,8 @@ class Multigrid:
             cache_clean = {k: v for k, v in cache.items()
                            if k[0] == t.epoch}
             if key not in cache_clean:
-                cache_clean[key] = PallasSmoother2D(
+                cls = PallasSmoother2D if ndim == 2 else PallasSmoother3D
+                cache_clean[key] = cls(
                     t, lvl, op, self.sides_bc, params, veps,
                     i_phi=self.i_phi)
             self._pallas_sm = cache_clean
@@ -344,10 +346,10 @@ class Multigrid:
                                        phi_b)
             cap = cc.shape[1]
             C = nc + 2
-            phi3 = cc[self.i_phi].reshape(cap, C, C)
+            phi3 = cc[self.i_phi].reshape((cap,) + (C,) * ndim)
             idsj = jnp.asarray(np.asarray(ids))
             masks = jnp.asarray(np.stack(
-                [_parity_mask(2, nc, n).astype(np.float32)
+                [_parity_mask(ndim, nc, n).astype(np.float32)
                  for n in range(1, n_half + 1)]))
 
             def body(p3, mask):

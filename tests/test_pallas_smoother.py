@@ -82,3 +82,31 @@ def test_pallas_vcycle_matches_host_lsf(monkeypatch):
     diff = float(np.max(np.abs(np.asarray(cc_d) - cc_h)))
     scale = float(np.max(np.abs(cc_h)))
     assert diff < 1e-11 * scale, f"pallas lsf vcycle differs: {diff}"
+
+
+def test_pallas_vcycle_matches_host_3d(monkeypatch):
+    monkeypatch.setenv("AFIVO_PALLAS", "interpret")
+    nc = 8
+    t = Tree(3, nc, [1.0] * 3, [16] * 3)
+
+    def flags(ids):
+        out = np.full([len(ids)] + [nc] * 3, KEEP_REF, np.int64)
+        for n, b in enumerate(ids):
+            r0 = t.box_r_min(np.asarray([int(b)]))[0]
+            if np.all(r0 < 0.45) and t.lvl[int(b)] == t.highest_lvl:
+                out[n] = DO_REF
+        return out
+    t.adjust_refinement(flags, ref_buffer=1)
+    batch = BoxBatch(t, 3, 0)
+    rng = np.random.default_rng(13)
+    cc_h = rng.random(np.asarray(batch.cc).shape)
+    params = {"voltage": 25.0}
+    mg = Multigrid(t, I_PHI, I_RHS, I_TMP, bc)
+    cc_h = mg.fill_ghosts_phi(cc_h, params)
+    cc_d = jnp.array(cc_h, copy=True)
+    for _ in range(2):
+        cc_h = mg.fas_vcycle(cc_h, params)
+        cc_d = mg.fas_vcycle(cc_d, params)
+    diff = float(np.max(np.abs(np.asarray(cc_d) - cc_h)))
+    scale = float(np.max(np.abs(cc_h)))
+    assert diff < 1e-11 * scale, f"pallas 3d vcycle differs: {diff}"
