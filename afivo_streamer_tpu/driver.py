@@ -217,6 +217,13 @@ class Simulation:
         # ---- initial conditions, refinement, output
         self.init_cond = InitCond(cfg, self.st, reg, self.i_electron,
                                   self.i_1pos_ion)
+        # resolve custom species names to cc indices (m_init_cond:120-139)
+        for names, attr in ((self.init_cond.seed1_species_names,
+                             "seed1_species"),
+                            (self.init_cond.background_species_names,
+                             "background_species")):
+            setattr(self.init_cond, attr,
+                    [reg.cc_names.index(nm) for nm in names])
         self.refiner = RefineCriterion(self.refine_cfg, self.tree, self.td,
                                        self.gas, self.init_cond,
                                        self.i_electric_fld, self.i_electron,
@@ -636,6 +643,9 @@ class Simulation:
                 self.output.log(self, out_cnt, wc_time)
         if self.output.npz_write:
             self.output.write_npz(self, out_cnt)
+        if (self.output.silo_write
+                and out_cnt % self.output.silo_per_outputs == 0):
+            self.output.write_grid(self, out_cnt)
         # secondary writers (output_write, m_output.f90:366-410)
         self.output.chemical_rates(self)
         self.output.chemical_amounts(self)

@@ -39,11 +39,27 @@ class Output:
         self.write_vtk_files = cfg.add_get(
             "output%vtk", False, "Write VTK unstructured output")
         self.datfile_write = cfg.add_get(
-            "output%datfile_write", False,
-            "Write full-state checkpoints (datfiles) at every output")
+            "datfile%write", False,
+            "Write binary output files (dat files)")
         self.datfile_per_outputs = cfg.add_get(
-            "output%datfile_per_outputs", 1,
-            "Write checkpoints every N outputs")
+            "datfile%per_outputs", 1,
+            "Write binary output files every N outputs")
+        # the Silo grid output of the reference maps to a compressed
+        # per-box .npz dump of the leaves (m_output.f90 silo_write)
+        self.silo_write = cfg.add_get(
+            "silo_write", True,
+            "Write grid output (per-box .npz, replaces the Silo files)")
+        self.silo_per_outputs = cfg.add_get(
+            "silo%per_outputs", 1, "Write grid output every N outputs")
+        self.max_lvl = cfg.add_get(
+            "output%max_lvl", 100,
+            "Maximum refinement level in grid output")
+        self.only = [s for s in cfg.add_get(
+            "output%only", [""],
+            "If non-empty, only output these variables") if s]
+        self.surface_write = cfg.add_get(
+            "dielectric%write", False,
+            "Output surface related information (into the grid .npz)")
         self.status_delay = cfg.add_get(
             "output%status_delay", 60.0,
             "Interval between writing status line (s)")
@@ -480,6 +496,47 @@ class Output:
             _, derivs = sim.chem.get_derivatives(dens, rates)
             return np.asarray(derivs[:, six])
         raise ValueError(f"unknown extra output variable {name}")
+
+    def write_grid(self, sim, out_cnt: int) -> None:
+        """Per-box grid dump of the leaves as a compressed .npz — the
+        functional replacement of the reference's Silo output
+        (af_write_silo): raw leaf blocks + box geometry, cost proportional
+        to the number of cells. Reassemble with any AMR-aware plotting,
+        or use write_npz for a uniform grid."""
+        t = sim.tree
+        nc, ndim = t.nc, t.ndim
+        max_lvl = min(self.max_lvl, t.highest_lvl)
+        names = [nm for iv, nm in enumerate(self.registry.cc_names)
+                 if self.registry.cc_write_output[iv]
+                 and (not self.only or nm in self.only)]
+        ivs = [self.registry.cc_names.index(nm) for nm in names]
+        leaves, lvls = [], []
+        for lvl in range(1, max_lvl + 1):
+            ls = np.asarray(t.lvl_leaves[lvl - 1])
+            if lvl == max_lvl:
+                # include boxes that are still refined beyond max_lvl
+                ls = np.asarray(t.lvl_ids[lvl - 1])
+            if len(ls):
+                leaves.append(ls)
+                lvls.append(np.full(len(ls), lvl))
+        ids = np.concatenate(leaves)
+        lvls = np.concatenate(lvls)
+        data = {nm: np.asarray(sim.cc[iv, ids])
+                for iv, nm in zip(ivs, names)}
+        out = dict(
+            box_lvl=lvls, box_r_min=t.box_r_min(ids),
+            dr_base=t.dr_base, nc=nc, ndim=ndim,
+            coord=t.coord, time=sim.global_time, cycle=out_cnt,
+            var_names=np.asarray(names), **data)
+        if self.surface_write and sim.surfaces is not None:
+            sds, sinfo = [], []
+            for s in sim.surfaces.active():
+                sds.append(s.sd)
+                sinfo.append([s.id_out, s.id_in, s.direction])
+            if sds:
+                out["surface_sd"] = np.stack(sds)
+                out["surface_info"] = np.asarray(sinfo)
+        np.savez_compressed(f"{self.name}_grid_{out_cnt:06d}.npz", **out)
 
     def status(self, sim, wc_time: float) -> None:
         """output_status (``m_output.f90:852-867``)."""

@@ -106,7 +106,8 @@ class Coupling:
             charge = uc.elem_charge * charge
             for d in range(ndim):
                 mom_var = gd.gas_vars[gd.i_mom[d]]
-                upd = charge * E_vec[d].reshape(n, -1) * dt
+                upd = (self.gas.EHD_factor * charge
+                       * E_vec[d].reshape(n, -1) * dt)
                 if isinstance(cc, np.ndarray):
                     cc[mom_var, leaves[:, None], interior[None, :]] += upd
                 else:

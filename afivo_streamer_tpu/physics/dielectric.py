@@ -55,6 +55,11 @@ class Dielectric:
         self.preset_charge = cfg.add_get(
             "dielectric%preset_charge", [0.0],
             "preset nonuniform surface charge")
+        self.preset_charge_distribution = cfg.add_get(
+            "dielectric%preset_charge_distribution", [0.0],
+            "preset nonuniform surface charge distribution (relative "
+            "z-coordinates, scaled by the domain length; like the "
+            "reference this is read but not applied anywhere)")
 
     def update_surface_charge(self, cc, fc, dt: float, s_prev: List[int],
                               w_prev: List[float], s_out: int,

@@ -52,7 +52,11 @@ class Gas:
                 "gas%fraction_slow_heating", 0.0,
                 "Fraction of gas heating via V-T relaxation")
             self.vt_time = cfg.add_get(
-                "gas%vt_time", 20e-6, "Vibration-Translation relaxation time")
+                "gas%vt_relaxation_time", 20e-6,
+                "Vibration-Translation relaxation time")
+            self.EHD_factor = cfg.add_get(
+                "gas%EHD_factor", 1.0,
+                "Factor for the EHD force term (should be 1 by default)")
             if self.dynamics:
                 self.constant_density = False
         if len(self.components) != len(self.fractions):

@@ -59,6 +59,20 @@ class InitCond:
                          "Initial density of the seed at other endpoint "
                          "(1/m3)", dynamic=True)
         self.seed_density2 = np.asarray([float(x) for x in d2])
+        # custom species lists (m_init_cond.f90:67-71, 120-139): names are
+        # resolved to cc indices by the driver after registration
+        self.seed1_species_names = [
+            s for s in cfg.add_get(
+                "seed1_species", [""],
+                "Names of custom species for the first seed", dynamic=True)
+            if s]
+        self.background_species_names = [
+            s for s in cfg.add_get(
+                "background_species", [""],
+                "Names of custom species for the background density",
+                dynamic=True) if s]
+        self.seed1_species: list = []      # cc indices, wired by the driver
+        self.background_species: list = []
 
     def set_box_values(self, tree, ids) -> dict:
         """Evaluate initial conditions for the given boxes.
@@ -66,29 +80,44 @@ class InitCond:
         Returns {cc_index: array [n_ids, (nc+2)^ndim]} of values to SET
         (background) and seeds to ADD are already combined."""
         nc, ndim = tree.nc, tree.ndim
-        vals = {self.i_electron: np.zeros((len(ids), (nc + 2) ** ndim)),
-                self.i_1pos_ion: np.zeros((len(ids), (nc + 2) ** ndim))}
+        C = (nc + 2) ** ndim
+        # background density: custom species list or electrons + first
+        # positive ions (init_cond_set_box, m_init_cond.f90:229-235)
+        if self.background_species:
+            bg_ivs = list(self.background_species)
+        else:
+            bg_ivs = [self.i_electron, self.i_1pos_ion]
+        vals = {iv: np.zeros((len(ids), C)) for iv in
+                set(bg_ivs + [self.i_electron, self.i_1pos_ion]
+                    + list(self.seed1_species))}
         for n_i, b in enumerate(ids):
             coords = tree.cell_coords(int(b)).reshape(-1, ndim)
-            e = np.full(coords.shape[0], self.background_density)
-            ion = np.full(coords.shape[0], self.background_density)
+            acc = {iv: np.zeros(coords.shape[0]) for iv in vals}
+            for iv in bg_ivs:
+                acc[iv] += self.background_density
             for s in range(self.n_cond):
                 dens = geometry.density_line(
                     coords, self.seed_r0[s], self.seed_r1[s],
                     self.seed_density[s], self.seed_density2[s],
                     self.seed_width[s], self.seed_falloff[s])
+                if s == 0 and self.seed1_species:
+                    # the first seed can set custom species
+                    # (m_init_cond.f90:265-268)
+                    for iv in self.seed1_species:
+                        acc[iv] += dens
+                    continue
                 t = self.seed_charge_type[s]
                 if t == -1:
-                    e = e + dens
+                    acc[self.i_electron] += dens
                 elif t == 0:
-                    e = e + dens
-                    ion = ion + dens
+                    acc[self.i_electron] += dens
+                    acc[self.i_1pos_ion] += dens
                 elif t == 1:
-                    ion = ion + dens
+                    acc[self.i_1pos_ion] += dens
                 else:
                     raise ValueError("Invalid seed_charge_type")
-            vals[self.i_electron][n_i] = e
-            vals[self.i_1pos_ion][n_i] = ion
+            for iv in vals:
+                vals[iv][n_i] = acc[iv]
         return vals
 
     def apply(self, cc, tree, ids):

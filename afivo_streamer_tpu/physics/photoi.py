@@ -64,6 +64,14 @@ class Photoionization:
         self.quenching_pressure = cfg.add_get(
             "photoi%quenching_pressure", 40e-3,
             "Photoionization quenching pressure (bar)")
+        # like the reference, the photoemission switch is exposed but the
+        # surface photoemission runs through the Monte-Carlo photons + the
+        # dielectric module (m_photoi.f90:18-19, 90-93)
+        self.photoe_enabled = cfg.add_get(
+            "photoe%enabled", False, "Whether photoemission is enabled")
+        self.photoe_per_steps = cfg.add_get(
+            "photoe%per_steps", 10,
+            "Update photoemission every N time step")
         self.source_type = cfg.add_get(
             "photoi%source_type", "Zheleznyak",
             "How to compute the photoi. source (Zheleznyak, from_species)")

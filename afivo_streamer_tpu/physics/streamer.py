@@ -145,7 +145,7 @@ class StreamerSettings:
             "Stop multigrid when residual is smaller than this factor "
             "times max(|rhs|)")
         self.current_update_per_steps = cfg.add_get(
-            "current_update_per_steps", 10,
+            "current_update_per_steps", 1000 * 1000,
             "Per how many iterations the electric current is computed")
         self.prolong_density = cfg.add_get(
             "prolong_density", "limit",
@@ -158,6 +158,13 @@ class StreamerSettings:
             "Use source factor to prevent unphysical effects due to diffusion")
         if self.source_factor not in ("none", "flux"):
             raise ValueError("Options fixes%source_factor: none, flux")
+        drt_max_field = cfg.add_get(
+            "fixes%drt_max_field", 1e100,
+            "Limit the derived fluxes so the dielectric relaxation time "
+            "is respected up to this field")
+        if drt_max_field < 1e100:
+            raise NotImplementedError(
+                "fixes%drt_max_field not yet implemented")
         self.source_min_electrons_per_cell = cfg.add_get(
             "fixes%source_min_electrons_per_cell", -1e100,
             "Minimum number of electrons per cell to include source terms")

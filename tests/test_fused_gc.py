@@ -1,9 +1,6 @@
 """The fused (traced) ghost fill must reproduce the host (NumPy) fill
 bitwise for every rb method, boundary type, and the corner stage."""
 
-import os
-os.environ["AFIVO_FUSED_GC"] = "1"
-
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -11,6 +8,11 @@ import pytest
 from afivo_streamer_tpu.core.tree import Tree, DO_REF, KEEP_REF
 from afivo_streamer_tpu.core.batch import BoxBatch
 from afivo_streamer_tpu.core import ghostcell as gc
+
+
+@pytest.fixture(autouse=True)
+def _enable_fused(monkeypatch):
+    monkeypatch.setenv("AFIVO_FUSED_GC", "1")
 
 
 def make_refined_tree(ndim, nc=8):
