@@ -20,8 +20,10 @@ def main(argv=None):
     bf = sim.chem.get_breakdown_field_td(1.0e3)
     print(f" Estimated breakdown field (Td): {bf:12.4E}")
     sim.run()
-    print("Computational cost breakdown (s)")
-    print("  ".join(f"{k}={v:.2f}" for k, v in sim.wc.items()))
+    total = max(sum(sim.wc.values()), 1e-300)
+    print("Computational cost breakdown (%)")
+    print("".join(f"{k:>10}" for k in sim.wc))
+    print("".join(f"{100 * v / total:10.2f}" for v in sim.wc.values()))
 
 
 if __name__ == "__main__":

@@ -287,6 +287,9 @@ class Simulation:
             "restart_from_file", "UNDEFINED",
             "If set, restart simulation from a previous checkpoint")
         if restart_from != "UNDEFINED":
+            if self.st.use_dielectric:
+                # surface state is not in the checkpoint (streamer.f90:138)
+                raise ValueError("Restarting not support with dielectric")
             from .io.checkpoint import read_checkpoint
             self._sync_capacity()
             read_checkpoint(restart_from, self)

@@ -539,12 +539,16 @@ class Output:
         np.savez_compressed(f"{self.name}_grid_{out_cnt:06d}.npz", **out)
 
     def status(self, sim, wc_time: float) -> None:
-        """output_status (``m_output.f90:852-867``)."""
+        """output_status (``m_output.f90:852-867``): progress line plus the
+        four time-step restrictions."""
         pct = 100.0 * sim.global_time / max(sim.st.end_time, 1e-300)
         print(f"{self.name}: {pct:.1f}% it={sim.it} t={sim.global_time:.3E} "
               f"dt={sim.global_dt:.3E} wc={wc_time:.1f}s "
               f"ncell={red.n_leaf_cells(sim.tree)} "
               f"lvl={sim.tree.highest_lvl}", flush=True)
+        print("         dt: "
+              + " ".join(f"{float(v):10.3E}" for v in sim.dt_limits)
+              + " (cfl drt chem other)", flush=True)
 
     # ----------------------------------------------------------- npz
     def write_npz(self, sim, out_cnt: int) -> None:
