@@ -104,9 +104,18 @@ def test_pallas_vcycle_matches_host_3d(monkeypatch):
     mg = Multigrid(t, I_PHI, I_RHS, I_TMP, bc)
     cc_h = mg.fill_ghosts_phi(cc_h, params)
     cc_d = jnp.array(cc_h, copy=True)
+    diffs = []
     for _ in range(2):
         cc_h = mg.fas_vcycle(cc_h, params)
         cc_d = mg.fas_vcycle(cc_d, params)
-    diff = float(np.max(np.abs(np.asarray(cc_d) - cc_h)))
+        diffs.append(float(np.max(np.abs(np.asarray(cc_d) - cc_h))))
     scale = float(np.max(np.abs(cc_h)))
-    assert diff < 1e-11 * scale, f"pallas 3d vcycle differs: {diff}"
+    if diffs[-1] >= 1e-11 * scale:
+        # rare in-suite flake under investigation: report where it
+        # diverges (per level/variable) for diagnosis
+        d = np.abs(np.asarray(cc_d) - cc_h)
+        iv, b, c = np.unravel_index(np.argmax(d), d.shape)
+        raise AssertionError(
+            f"pallas 3d vcycle differs: per-cycle diffs {diffs}, worst at "
+            f"var {iv} box {b} (lvl {t.lvl[b]}) cell {c}: "
+            f"{cc_h[iv, b, c]} vs {np.asarray(cc_d)[iv, b, c]}")
