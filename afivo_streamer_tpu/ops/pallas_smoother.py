@@ -74,13 +74,14 @@ class PallasSmoother2D:
         self.n = n
         pos = {int(b): k for k, b in enumerate(ids)}
 
-        # global row table: own + 4 neighbors (self row when absent)
-        g = np.tile(ids[:, None], (1, 5))
+        # level-local row table: own + 4 neighbors (same-level neighbors
+        # are by definition on this level; self row when absent)
+        g = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, 5))
         for d in range(4):
             for k, b in enumerate(ids):
                 nb = int(tree.neighbors[int(b), d])
                 if nb >= 0:
-                    g[k, 1 + d] = nb
+                    g[k, 1 + d] = pos[nb]
         self.g = g.astype(np.int32)
 
         # ghost linear-form coefficients per (box, dir):
@@ -347,12 +348,13 @@ class PallasSmoother3D:
         self.n = n
         pos = {int(b): k for k, b in enumerate(ids)}
 
-        g = np.tile(ids[:, None], (1, 7))
+        # level-local rows (see PallasSmoother2D)
+        g = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, 7))
         for d in range(6):
             for k, b in enumerate(ids):
                 nb = int(tree.neighbors[int(b), d])
                 if nb >= 0:
-                    g[k, 1 + d] = nb
+                    g[k, 1 + d] = pos[nb]
         self.g = g.astype(np.int32)
 
         W = np.zeros((n, 6, 8))

@@ -344,22 +344,24 @@ class Multigrid:
             sm = cache_clean[key]
             A, R_blk = sm.build_consts(cc, self.i_phi, self.i_rhs, params,
                                        phi_b)
-            cap = cc.shape[1]
             C = nc + 2
-            phi3 = cc[self.i_phi].reshape((cap,) + (C,) * ndim)
             idsj = jnp.asarray(np.asarray(ids))
+            # the smoothing runs on level-local blocks (same-level
+            # neighbors are on this level): one gather at visit start,
+            # one scatter at the end
+            phi_l = cc[self.i_phi, idsj].reshape((len(ids),) + (C,) * ndim)
             masks = jnp.asarray(np.stack(
                 [_parity_mask(ndim, nc, n).astype(np.float32)
                  for n in range(1, n_half + 1)]))
 
-            def body(p3, mask):
-                out = sm.sweep(p3, R_blk, mask, interpret=interp)
-                p3 = p3.at[idsj].set(out)
-                out = sm.fill(p3, A, interpret=interp)
-                return p3.at[idsj].set(out), None
+            def body(p_l, mask):
+                p_l = sm.sweep(p_l, R_blk, mask, interpret=interp)
+                p_l = sm.fill(p_l, A, interpret=interp)
+                return p_l, None
 
-            phi3, _ = jax.lax.scan(body, phi3, masks)
-            cc = cc.at[self.i_phi].set(phi3.reshape(cap, -1))
+            phi_l, _ = jax.lax.scan(body, phi_l, masks)
+            cc = cc.at[self.i_phi, idsj].set(
+                phi_l.reshape(len(ids), -1))
             if up_cycle:
                 # corner ghosts stored on the final upward half sweep
                 cc = gc.fill_corners_lvl(cc, plan, [self.i_phi])
