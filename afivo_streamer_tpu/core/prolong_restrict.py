@@ -170,6 +170,14 @@ def _scat_pr(cc, ivs, ids, sidx, vals, add=False):
     return cc.at[idx].add(vals) if add else cc.at[idx].set(vals)
 
 
+def _cst(a, like):
+    """Cast a NumPy constant array to the dtype of the operand so f64
+    constants do not promote a traced f32 computation to emulated f64."""
+    if isinstance(a, np.ndarray) and not isinstance(like, np.ndarray):
+        return a.astype(like.dtype)
+    return a
+
+
 def prolong(cc, plan: ProlongRestrictPlan, ivs, method: str,
             limiter: Optional[int] = None, add: bool = False,
             ivs_to=None):
@@ -198,7 +206,7 @@ def prolong(cc, plan: ProlongRestrictPlan, ivs, method: str,
         elif method == "linear":
             fine = 0.0
             for w, sidx in tb.corners:
-                fine = fine + w * _gat(cc, ivs, par, sidx)
+                fine = fine + float(w) * _gat(cc, ivs, par, sidx)
         elif method in ("limit", "linear_cons"):
             f0 = _gat(cc, ivs, par, tb.near)
             fine = f0
@@ -215,7 +223,7 @@ def prolong(cc, plan: ProlongRestrictPlan, ivs, method: str,
                     # (af_prolong_linear_cons, m_af_prolong.f90:472-476)
                     raise NotImplementedError(
                         "linear_cons in cylindrical coordinates")
-                fine = fine + sgn[None, None, :, d] * fd
+                fine = fine + _cst(sgn, fd)[None, None, :, d] * fd
         else:
             raise ValueError(f"unknown prolongation method {method}")
         cc = _scat_pr(cc, ivs_to, ch, tb.fine_sidx, fine, add=add)
@@ -231,7 +239,7 @@ def restrict(cc, plan: ProlongRestrictPlan, ivs, use_geometry: bool = True):
         if plan.coord == "cyl" and use_geometry and cyl_w is not None:
             # children source order: bits over dims; dim 0 (r) bit selects
             # inner (0) vs outer (1) fine column
-            w = cyl_w  # [n, Cc, 2]
+            w = _cst(cyl_w, srcs[0])  # [n, Cc, 2]
             acc = 0.0
             for bits, s in zip(itertools.product([0, 1], repeat=ndim),
                                srcs):

@@ -473,8 +473,8 @@ class Chemistry:
         electron_eV_to_K = 2 * uc.elec_volt / (3 * uc.boltzmann_const)
         Tg = self.gas_temperature
         for n, r in enumerate(self.reactions):
-            c0 = r.rate_factor
-            c = r.rate_data
+            c0 = float(r.rate_factor)
+            c = [float(v) for v in np.atleast_1d(r.rate_data)]
             rt = r.rate_type
             if rt == RATE_TABULATED_FIELD:
                 v = c0 * self.chemtbl_fld.get_col(r.lookup_table_index, fields)
@@ -545,7 +545,7 @@ class Chemistry:
             prod = prod * dpad[:, self.in_idx[:, k]]
         full = rates * prod
         S = self.stoich if isinstance(dens, np.ndarray) else \
-            self._device("stoich")
+            jnp.asarray(self.stoich, dens.dtype)
         derivs = full @ S
         return full, derivs
 

@@ -468,7 +468,7 @@ class FieldSolver:
                                       for k in range(ndim))
                 F = fc[self.fc_E, d, boxes[:, None],
                        fidx[None, :]].reshape(fshape)
-                inv_dr = fac / dr[d]
+                inv_dr = float(fac) / float(dr[d])
                 m_lo = (dd[..., 2 * d] < 1) & (lsf_cc >= 0)
                 m_hi = (dd[..., 2 * d + 1] < 1) & (lsf_cc >= 0)
                 v_lo = inv_dr * (phi - bc_val) / xp.maximum(dd[..., 2 * d],

@@ -28,6 +28,7 @@ from .. import constants as uc
 from ..core import spatial as sp
 from ..core import ghostcell as gc
 from ..core import prolong_restrict as pr
+from ..core import rowops as ro
 from ..core.tree import Tree, NO_BOX, neighb_dim, neighb_low
 from ..ops.limiters import limiter_apply, LIMITER_KOREN
 from .transport_data import (TD_MOBILITY, TD_DIFFUSION, TD_EE_MOBILITY,
@@ -39,6 +40,14 @@ FIVE_THIRD = 5.0 / 3.0
 
 def _xp(a):
     return np if isinstance(a, np.ndarray) else jnp
+
+
+def _cst(a, like):
+    """Cast NumPy f64 constants to the operand dtype (avoid emulated-f64
+    promotion of the traced f32 path)."""
+    if isinstance(a, np.ndarray) and not isinstance(like, np.ndarray):
+        return a.astype(like.dtype)
+    return a
 
 
 def _tiny(xp):
@@ -276,7 +285,7 @@ def gc2_extend(cc, plan: Gc2LevelPlan, ivs, bc_fn, params,
                     c0, c1, c2 = 2.0, -1.0, 2.0
                 elif bc_type == gc.BC_NEUMANN:
                     sgn = -1.0 if low else 1.0
-                    c0 = sgn * plan.dr[dim]
+                    c0 = sgn * float(plan.dr[dim])
                     c1, c2 = 1.0, 3.0 * c0
                 elif bc_type == gc.BC_DIRICHLET_COPY:
                     c0, c1, c2 = 1.0, 0.0, 1.0
@@ -448,15 +457,11 @@ class FluidModel:
                                                  self.limiter)
 
                 # face-centered E-field component
-                faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
-                         for k in range(ndim)]
-                fidx = sp.fc_flat(ndim, nc, *faxes)
-                E_fc = fc[idx.fc_E, d, plan.leaves][:, fidx].reshape(
-                    (n,) + tuple(nc + 1 if k == d else nc
-                                 for k in range(ndim)))
+                E_fc = ro.fc_get_faces(fc, idx.fc_E, d, plan.leaves,
+                                       nc, ndim)
 
-                dir_pos = (sign.reshape((1, n_sp) + (1,) * ndim)
-                           * E_fc[:, None]) > 0
+                dir_pos = (_cst(sign, E_fc).reshape(
+                    (1, n_sp) + (1,) * ndim) * E_fc[:, None]) > 0
                 u_f = xp.where(dir_pos, u_pos, u_neg)
 
                 # field strength at faces -> mobility/diffusion lookup;
@@ -484,7 +489,7 @@ class FluidModel:
                     mu = mob_tbl.get_col(TD_MOBILITY, fld_face) * N_inv_f
                     dc = mob_tbl.get_col(TD_DIFFUSION, fld_face) * N_inv_f
 
-                inv_dx = 1.0 / dr[d]
+                inv_dx = 1.0 / float(dr[d])
                 v_e = -mu * E_fc
                 ne_L = cL[:, 0]
                 ne_R = cR[:, 0]
@@ -536,12 +541,8 @@ class FluidModel:
                     flat = fluxes[m].reshape(n, -1)
                     if diel_zero is not None:
                         flat = xp.where(diel_zero[:, None], 0.0, flat)
-                    if isinstance(fc, np.ndarray):
-                        fc[f_iv, d, plan.leaves[:, None], fidx[None, :]] = flat
-                    else:
-                        fc = fc.at[f_iv, d,
-                                   jnp.asarray(plan.leaves)[:, None],
-                                   jnp.asarray(fidx)[None, :]].set(flat)
+                    fc = ro.fc_set_faces(fc, f_iv, d, plan.leaves, flat,
+                                         nc, ndim)
             inv_max_cfl = xp.maximum(inv_max_cfl, xp.max(cfl_sum))
 
         fc = self.consistent_fluxes(fc, idx.flux_fc)
@@ -679,7 +680,7 @@ class FluidModel:
             for si in range(nsrc):
                 vals = fc[fvars[:, None, None], g["dim"],
                           g["chs"][None, :, None], g["src"][si][None, :, :]]
-                acc = acc + g["w"][si][None] * vals
+                acc = acc + _cst(g["w"][si], vals)[None] * vals
             acc = acc / nsrc
             if isinstance(fc, np.ndarray):
                 fc[fvars[:, None, None], g["dim"], g["nbs"][None, :, None],
@@ -739,16 +740,14 @@ class FluidModel:
             for iv in idx.all_densities:
                 acc = 0.0
                 for s, w in zip(s_prev, w_prev):
-                    acc = acc + w * cc[iv + s, leaves[:, None],
-                                       interior[None, :]]
+                    acc = acc + w * ro.cc_get_interior(cc, iv + s, leaves,
+                                                       nc, ndim)
                 if mask is not None:
-                    old = cc[iv + s_out, leaves[:, None], interior[None, :]]
+                    old = ro.cc_get_interior(cc, iv + s_out, leaves,
+                                             nc, ndim)
                     acc = xp.where(mask, acc, old)
-                if isinstance(cc, np.ndarray):
-                    cc[iv + s_out, leaves[:, None], interior[None, :]] = acc
-                else:
-                    cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].set(acc)
+                cc = ro.cc_set_interior(cc, iv + s_out, leaves, acc,
+                                        nc, ndim)
 
             # ---------------- flux divergence (flux_update_densities);
             # applied before the source terms as in the reference, so the
@@ -764,12 +763,7 @@ class FluidModel:
                 f_iv = idx.flux_fc[m]
                 div = 0.0
                 for d in range(ndim):
-                    faxes = [np.arange(0, nc + 1) if k == d
-                             else np.arange(0, nc) for k in range(ndim)]
-                    fidx = sp.fc_flat(ndim, nc, *faxes)
-                    F = fc[f_iv, d, leaves[:, None], fidx[None, :]].reshape(
-                        (n,) + tuple(nc + 1 if k == d else nc
-                                     for k in range(ndim)))
+                    F = ro.fc_get_faces(fc, f_iv, d, leaves, nc, ndim)
                     lo_slc = tuple(slice(0, nc) if k == d else slice(None)
                                    for k in range(ndim))
                     hi_slc = tuple(slice(1, nc + 1) if k == d else slice(None)
@@ -778,37 +772,34 @@ class FluidModel:
                     F_hi = F[(slice(None),) + hi_slc]
                     if rfac is not None and d == 0:
                         shape = (n, nc) + (1,) * (ndim - 1)
-                        F_lo = F_lo * rfac[0].reshape(shape)
-                        F_hi = F_hi * rfac[1].reshape(shape)
-                    div = div + (F_lo - F_hi) / dr[d]
+                        F_lo = F_lo * _cst(rfac[0], F_lo).reshape(shape)
+                        F_hi = F_hi * _cst(rfac[1], F_hi).reshape(shape)
+                    div = div + (F_lo - F_hi) / float(dr[d])
                 upd = dt * div.reshape(n, -1)
                 if mask is not None:
                     upd = xp.where(mask, upd, 0.0)
-                if isinstance(cc, np.ndarray):
-                    cc[iv + s_out, leaves[:, None], interior[None, :]] += upd
-                else:
-                    cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].add(upd)
+                cc = ro.cc_add_interior(cc, iv + s_out, leaves, upd,
+                                        nc, ndim)
 
             # ---------------- chemistry source terms (add_source_terms)
             if self.gas.constant_density:
-                fields_td = (cc[idx.i_electric_fld, leaves[:, None],
-                                interior[None, :]]
+                fields_td = (ro.cc_get_interior(
+                    cc, idx.i_electric_fld, leaves, nc, ndim)
                              * uc.SI_to_Townsend
                              * self.gas.inverse_number_density)
                 gas_cols = []
             else:
-                Ncell = cc[idx.i_gas_dens, leaves[:, None],
-                           interior[None, :]]
-                fields_td = (cc[idx.i_electric_fld, leaves[:, None],
-                                interior[None, :]]
+                Ncell = ro.cc_get_interior(cc, idx.i_gas_dens, leaves,
+                                           nc, ndim)
+                fields_td = (ro.cc_get_interior(
+                    cc, idx.i_electric_fld, leaves, nc, ndim)
                              * uc.SI_to_Townsend / Ncell)
-                gas_cols = [self.gas.fractions[k] * Ncell
+                gas_cols = [float(self.gas.fractions[k]) * Ncell
                             for k in range(self.chem.n_gas_species)]
             dens_cols = list(gas_cols)
             for s_cc in idx.species_cc:
-                dens_cols.append(cc[s_cc + s_deriv, leaves[:, None],
-                                    interior[None, :]])
+                dens_cols.append(ro.cc_get_interior(
+                    cc, s_cc + s_deriv, leaves, nc, ndim))
             dens = xp.stack(dens_cols, axis=-1)
             dens = xp.maximum(dens, 0.0)
             flat_fields = fields_td.reshape(-1)
@@ -816,10 +807,10 @@ class FluidModel:
             if has_ee:
                 # mean energy from the post-flux s_out states
                 # (add_source_terms, m_fluid.f90:358-364)
-                ne_out = cc[idx.i_electron + s_out, leaves[:, None],
-                            interior[None, :]]
-                en_out = cc[idx.i_electron_energy + s_out, leaves[:, None],
-                            interior[None, :]]
+                ne_out = ro.cc_get_interior(
+                    cc, idx.i_electron + s_out, leaves, nc, ndim)
+                en_out = ro.cc_get_interior(
+                    cc, idx.i_electron_energy + s_out, leaves, nc, ndim)
                 mean_energies = en_out / xp.maximum(ne_out, 1.0)
                 rates = self.chem.get_rates(
                     flat_fields, energy_eV=mean_energies.reshape(-1))
@@ -851,13 +842,14 @@ class FluidModel:
             if last_step:
                 vol = self._cell_volumes(lvl, n)
                 total_rates = total_rates + xp.sum(
-                    full * vol[:, :, None], axis=(0, 1))
+                    full * _cst(vol, full)[:, :, None], axis=(0, 1))
                 # J.E with cell volumes (sum_global_JdotE, m_fluid.f90:702-731)
                 total_JdotE = total_JdotE + self._sum_JdotE(fc, lvl, vol)
 
             # photoionization source
             if idx.i_photo >= 0:
-                photo = cc[idx.i_photo, leaves[:, None], interior[None, :]]
+                photo = ro.cc_get_interior(cc, idx.i_photo, leaves,
+                                           nc, ndim)
                 e_pos = ngas + idx.species_cc.index(idx.i_electron)
                 ph_pos = ngas + idx.species_cc.index(idx.photoi_species_cc)
                 if isinstance(derivs, np.ndarray):
@@ -873,15 +865,9 @@ class FluidModel:
                 # m_fluid.f90:442-447); applied before the species derivs
                 gain = 0.0
                 for d in range(ndim):
-                    faxes = [np.arange(0, nc + 1) if k == d
-                             else np.arange(0, nc) for k in range(ndim)]
-                    fidx = sp.fc_flat(ndim, nc, *faxes)
-                    shp = (n,) + tuple(nc + 1 if k == d else nc
-                                       for k in range(ndim))
-                    Fe = fc[idx.flux_fc[0], d, leaves[:, None],
-                            fidx[None, :]].reshape(shp)
-                    Ef = fc[idx.fc_E, d, leaves[:, None],
-                            fidx[None, :]].reshape(shp)
+                    Fe = ro.fc_get_faces(fc, idx.flux_fc[0], d, leaves,
+                                         nc, ndim)
+                    Ef = ro.fc_get_faces(fc, idx.fc_E, d, leaves, nc, ndim)
                     prod = Fe * Ef
                     lo = tuple(slice(0, nc) if k == d else slice(None)
                                for k in range(ndim))
@@ -896,13 +882,8 @@ class FluidModel:
                 upd_en = dt * (gain - loss_rate * ne_out)
                 if mask is not None:
                     upd_en = xp.where(mask, upd_en, 0.0)
-                if isinstance(cc, np.ndarray):
-                    cc[idx.i_electron_energy + s_out, leaves[:, None],
-                       interior[None, :]] += upd_en
-                else:
-                    cc = cc.at[idx.i_electron_energy + s_out,
-                               jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].add(upd_en)
+                cc = ro.cc_add_interior(cc, idx.i_electron_energy + s_out,
+                                        leaves, upd_en, nc, ndim)
                 # energy-loss time step restriction (m_fluid.f90:163-166);
                 # zero mean energy has zero loss -> no restriction
                 tmp = xp.max(mean_energies)
@@ -919,11 +900,8 @@ class FluidModel:
                 upd = dt * derivs[:, :, ngas + spi]
                 if mask is not None:
                     upd = xp.where(mask, upd, 0.0)
-                if isinstance(cc, np.ndarray):
-                    cc[s_cc + s_out, leaves[:, None], interior[None, :]] += upd
-                else:
-                    cc = cc.at[s_cc + s_out, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].add(upd)
+                cc = ro.cc_add_interior(cc, s_cc + s_out, leaves, upd,
+                                        nc, ndim)
 
         diag = {"rates": total_rates, "JdotE": total_JdotE,
                 "dt_other": dt_other}
@@ -945,12 +923,7 @@ class FluidModel:
         # cell-centered electron flux norm: 0.5 * |(lo+hi per dim)|
         acc = 0.0
         for d in range(ndim):
-            faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
-                     for k in range(ndim)]
-            fidx = sp.fc_flat(ndim, nc, *faxes)
-            shp = (n,) + tuple(nc + 1 if k == d else nc for k in range(ndim))
-            Fe = fc[idx.flux_fc[0], d, leaves[:, None],
-                    fidx[None, :]].reshape(shp)
+            Fe = ro.fc_get_faces(fc, idx.flux_fc[0], d, leaves, nc, ndim)
             lo = tuple(slice(0, nc) if k == d else slice(None)
                        for k in range(ndim))
             hi = tuple(slice(1, nc + 1) if k == d else slice(None)
@@ -960,12 +933,12 @@ class FluidModel:
             acc = acc + comp ** 2
         flux_norm = 0.5 * xp.sqrt(acc)
 
-        fld = cc[idx.i_electric_fld, leaves[:, None], interior[None, :]]
+        fld = ro.cc_get_interior(cc, idx.i_electric_fld, leaves, nc, ndim)
         if self.gas.constant_density:
             N_inv_c = self.gas.inverse_number_density
             fld_td = fld * uc.SI_to_Townsend * N_inv_c
         else:
-            Ng = cc[idx.i_gas_dens, leaves[:, None], interior[None, :]]
+            Ng = ro.cc_get_interior(cc, idx.i_gas_dens, leaves, nc, ndim)
             N_inv_c = 1.0 / Ng
             fld_td = fld * uc.SI_to_Townsend * N_inv_c
         mob = self.td.tbl.get_col(TD_MOBILITY, fld_td) * N_inv_c
@@ -979,11 +952,8 @@ class FluidModel:
                 < self.st.source_min_electrons_per_cell, 0.0, factor)
 
         if idx.i_srcfac >= 0:
-            if isinstance(cc, np.ndarray):
-                cc[idx.i_srcfac, leaves[:, None], interior[None, :]] = factor
-            else:
-                cc = cc.at[idx.i_srcfac, jnp.asarray(leaves)[:, None],
-                           jnp.asarray(interior)[None, :]].set(factor)
+            cc = ro.cc_set_interior(cc, idx.i_srcfac, leaves, factor,
+                                    nc, ndim)
 
         fac_flat = factor.reshape(-1)
         ioniz = self._ionization_mask()
@@ -1012,22 +982,15 @@ class FluidModel:
         n = len(leaves)
         acc = 0.0
         for d in range(ndim):
-            faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
-                     for k in range(ndim)]
-            fidx = sp.fc_flat(ndim, nc, *faxes)
-            shape = (n,) + tuple(nc + 1 if k == d else nc
-                                 for k in range(ndim))
-            Fe = fc[idx.flux_fc[0], d, leaves[:, None],
-                    fidx[None, :]].reshape(shape)
-            Ef = fc[idx.fc_E, d, leaves[:, None],
-                    fidx[None, :]].reshape(shape)
+            Fe = ro.fc_get_faces(fc, idx.flux_fc[0], d, leaves, nc, ndim)
+            Ef = ro.fc_get_faces(fc, idx.fc_E, d, leaves, nc, ndim)
             lo = tuple(slice(0, nc) if k == d else slice(None)
                        for k in range(ndim))
             hi = tuple(slice(1, nc + 1) if k == d else slice(None)
                        for k in range(ndim))
             prod = 0.5 * ((Fe * Ef)[(slice(None),) + lo]
                           + (Fe * Ef)[(slice(None),) + hi])
-            acc = acc + xp.sum(prod.reshape(n, -1) * vol)
+            acc = acc + xp.sum(prod.reshape(n, -1) * _cst(vol, prod))
         return acc * uc.elec_charge
 
     # ----------------------------------------------------- forward Euler

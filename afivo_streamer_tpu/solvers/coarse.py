@@ -185,7 +185,8 @@ class CoarseSolver:
         # internal (level-set) boundary contribution: rhs + f * phi_b
         phi_b = params.get("lsf_phi_b", 0.0)
         if np.ndim(phi_b) or phi_b != 0.0 or not isinstance(phi_b, float):
-            rhs = rhs + self.F * self.BCC * phi_b
+            rhs = rhs + (xp.asarray(self.F, rhs.dtype)
+                         * xp.asarray(self.BCC, rhs.dtype) * phi_b)
         # domain-boundary contributions
         for d in range(2 * len(self.tree.dr_base)):
             if len(self.bc_rows[d]) == 0:
@@ -205,7 +206,7 @@ class CoarseSolver:
             return cc
         # no caching: inside a trace jnp.asarray yields a tracer (a jaxpr
         # constant) which must not escape; XLA dedups the constant anyway
-        x = jnp.asarray(self.A_inv) @ rhs
+        x = jnp.asarray(self.A_inv, rhs.dtype) @ rhs
         return cc.at[i_phi, jnp.asarray(self.ids1)[:, None],
                      jnp.asarray(self.interior_sidx)[None, :]].set(
                          x[jnp.asarray(self.rows_map)])

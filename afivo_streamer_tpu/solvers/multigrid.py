@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..core import spatial as sp
 from ..core import ghostcell as gc
 from ..core import prolong_restrict as pr
+from ..core import rowops as ro
 from ..core.tree import Tree
 from .coarse import CoarseSolver
 
@@ -45,14 +46,21 @@ def blocks(cc, iv: int, ids, nc: int, ndim: int):
 
 
 def scatter_interior(cc, iv: int, ids, vals_int, nc: int, ndim: int):
-    """Scatter interior blocks [n]+[nc]^ndim back into cc."""
+    """Scatter interior blocks [n]+[nc]^ndim back into cc.
+
+    Traced path: element-wise scatters are extremely slow on TPU, so the
+    rows are gathered, the interior inserted with a static-slice update
+    (dynamic_update_slice), and written back with a fast row-level set."""
     sidx = sp.interior_flat(ndim, nc)
     flat = vals_int.reshape(len(ids), -1)
     if isinstance(cc, np.ndarray):
         cc[iv, np.asarray(ids)[:, None], sidx[None, :]] = flat
         return cc
-    return cc.at[iv, jnp.asarray(np.asarray(ids))[:, None],
-                 jnp.asarray(sidx)[None, :]].set(flat)
+    idsj = jnp.asarray(np.asarray(ids))
+    B = cc[iv, idsj].reshape((len(ids),) + (nc + 2,) * ndim)
+    B = B.at[(slice(None),) + (slice(1, nc + 1),) * ndim].set(
+        flat.reshape((len(ids),) + (nc,) * ndim))
+    return cc.at[iv, idsj].set(B.reshape(len(ids), -1))
 
 
 def _parity_mask(ndim: int, nc: int, redblack: int) -> np.ndarray:
@@ -185,6 +193,14 @@ class LevelOp:
         pos = np.searchsorted(self.ids, np.asarray(ids))
         return self.f[pos] * self.bc_coeff[pos] * phi_b
 
+    @staticmethod
+    def _cst(a, like):
+        """Cast NumPy f64 coefficient arrays to the operand dtype so a
+        traced f32 computation is not promoted to emulated f64."""
+        if isinstance(a, np.ndarray) and not isinstance(like, np.ndarray):
+            return a.astype(like.dtype)
+        return a
+
     def apply(self, B, nc: int, ndim: int, ids=None, phi_b=0.0):
         """L(phi) - bc_correction on the interior: [n] + [nc]^ndim
         (stencil_apply_357 subtracts the boundary correction)."""
@@ -193,12 +209,15 @@ class LevelOp:
             corr = self.bc_corr(phi_b)
         else:
             c0, c_nb, f = self._select(ids)
-            corr = f * phi_b if f is not None else 0.0
-        out = c0 * B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+            corr = self._cst(f, B) * phi_b if f is not None else 0.0
+        out = self._cst(c0, B) * B[
+            (slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
         for d in range(2 * ndim):
             delta = -1 if d % 2 == 0 else 1
-            out = out + c_nb[d] * _shift(B, d // 2, delta, nc, ndim)
-        return out - corr
+            out = out + self._cst(c_nb[d], B) * _shift(B, d // 2, delta,
+                                                       nc, ndim)
+        return out - self._cst(corr, B) if not np.isscalar(corr) else \
+            out - corr
 
     def gsrb(self, B, R_int, redblack: int, nc: int, ndim: int,
              phi_b=0.0, mask=None):
@@ -210,8 +229,12 @@ class LevelOp:
         offdiag = 0.0
         for d in range(2 * ndim):
             delta = -1 if d % 2 == 0 else 1
-            offdiag = offdiag + self.c_nb[d] * _shift(B, d // 2, delta, nc, ndim)
-        new = (R_int + self.bc_corr(phi_b) - offdiag) / self.c0
+            offdiag = offdiag + self._cst(self.c_nb[d], B) * _shift(
+                B, d // 2, delta, nc, ndim)
+        new = ((R_int + self._cst(self.bc_corr(phi_b), B) - offdiag)
+               / self._cst(self.c0, B)) if not np.isscalar(self.c0) or \
+            not np.isscalar(self.bc_corr(phi_b)) else \
+            (R_int + self.bc_corr(phi_b) - offdiag) / self.c0
         if mask is None:
             mask = _parity_mask(ndim, nc, redblack)
         old = B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
@@ -586,23 +609,14 @@ class Multigrid:
             dr = t.lvl_dr(lvl)
             B = blocks(cc, self.i_phi, ids, nc, ndim)
             for d in range(ndim):
-                inv_dr = fac / dr[d]
+                inv_dr = float(fac) / float(dr[d])
                 lo = [slice(0, nc + 1) if k == d else slice(1, nc + 1)
                       for k in range(ndim)]
                 hi = [slice(1, nc + 2) if k == d else slice(1, nc + 1)
                       for k in range(ndim)]
                 g = inv_dr * (B[(slice(None),) + tuple(hi)]
                               - B[(slice(None),) + tuple(lo)])
-                # faces 0..nc in dim d, cells 0..nc-1 in other dims
-                axes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
-                        for k in range(ndim)]
-                fidx = sp.fc_flat(ndim, nc, *axes)
-                flat = g.reshape(len(ids), -1)
-                if isinstance(fc, np.ndarray):
-                    fc[i_fc, d, ids[:, None], fidx[None, :]] = flat
-                else:
-                    fc = fc.at[i_fc, d, jnp.asarray(ids)[:, None],
-                               jnp.asarray(fidx)[None, :]].set(flat)
+                fc = ro.fc_set_faces(fc, i_fc, d, ids, g, nc, ndim)
         return fc
 
     def compute_field_norm(self, cc, fc, i_fc: int, i_norm: int):
@@ -614,12 +628,7 @@ class Multigrid:
             ids = np.asarray(t.lvl_ids[lvl - 1])
             acc = 0.0
             for d in range(ndim):
-                axes_lo = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
-                           for k in range(ndim)]
-                F = fc[i_fc, d, ids[:, None],
-                       sp.fc_flat(ndim, nc, *axes_lo)[None, :]]
-                F = F.reshape((len(ids),) + tuple(
-                    nc + 1 if k == d else nc for k in range(ndim)))
+                F = ro.fc_get_faces(fc, i_fc, d, ids, nc, ndim)
                 sl_lo = [slice(0, nc) if k == d else slice(None)
                          for k in range(ndim)]
                 sl_hi = [slice(1, nc + 1) if k == d else slice(None)

@@ -90,7 +90,7 @@ class LookupTable:
     def _loc(self, xp, x):
         """Return (low_ix, low_frac) as in LT_get_loc
         (``m_lookup_table.f90:330-362``). Works for numpy or jnp arrays."""
-        frac = (x - self.x_min) * self.inv_fac
+        frac = (x - float(self.x_min)) * float(self.inv_fac)
         if self.xspacing == XSPACING_QUADRATIC:
             frac = xp.where(frac > 0, xp.sqrt(xp.maximum(frac, 0.0)), frac)
         elif self.xspacing == XSPACING_CUBIC:
@@ -113,7 +113,9 @@ class LookupTable:
         (LT_get_col_at_loc; note Fortran 1-based low_ix).
         """
         if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
-            col = self.device_cols()[:, col_ix]
+            # match the query dtype (an f64 constant table would silently
+            # promote the whole expression to emulated f64 on TPU)
+            col = jnp.asarray(self.rows_cols[:, col_ix], x.dtype)
             low_ix, low_frac = self._loc(jnp, x)
             v0 = jnp.take(col, low_ix - 1)
             v1 = jnp.take(col, low_ix)
