@@ -259,6 +259,7 @@ class Simulation:
 
         # runtime state
         self.it = 0
+        self.out_cnt = 0  # resumed on restart (streamer.f90:527,546)
         self.global_time = 0.0
         self.global_dt = self.dt_cfg.dt_min
         self.dt_limits = np.full(4, 1e100)
@@ -625,7 +626,9 @@ class Simulation:
         if (self.output.datfile_write
                 and out_cnt % self.output.datfile_per_outputs == 0):
             from .io.checkpoint import write_checkpoint
-            write_checkpoint(f"{self.output.name}_{out_cnt:06d}.npz.dat",
+            # ".dat.npz": np.savez appends ".npz" to other suffixes, which
+            # would make the on-disk name differ from the constructed one
+            write_checkpoint(f"{self.output.name}_{out_cnt:06d}.dat.npz",
                              self)
         if self.output.write_log and out_cnt > 0:
             # streamer velocity from max-E displacement
@@ -680,7 +683,7 @@ class Simulation:
         n_states = self.dt_cfg.num_steps
         dt = self.global_dt
         time = self.global_time
-        out_cnt = 0
+        out_cnt = self.out_cnt
         time_last_output = time
         t_start = _time.time()
         time_last_print = -1e10
@@ -835,6 +838,7 @@ class Simulation:
             t1 = _time.time()
             if write_out:
                 out_cnt += 1
+                self.out_cnt = out_cnt
                 time_last_output = self.global_time
                 self.output_write(out_cnt, _time.time() - t_start)
             self.wc["output"] += _time.time() - t1

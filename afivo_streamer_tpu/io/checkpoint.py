@@ -24,6 +24,7 @@ def write_checkpoint(fname: str, sim) -> None:
     payload = dict(
         version=DATFILE_VERSION,
         it=sim.it,
+        out_cnt=sim.out_cnt,
         global_time=sim.global_time,
         global_dt=sim.global_dt,
         photoi_prev_time=sim._photoi_prev_time,
@@ -61,10 +62,28 @@ def read_checkpoint(fname: str, sim) -> None:
         raise ValueError("restart: incompatible box size")
     if len(d["cc_names"]) != len(sim.registry.cc_names):
         raise ValueError("restart: incompatible variable list")
+    # geometry consistency: the checkpointed topology only makes sense on
+    # the same domain (the reference's af_read_tree takes geometry from the
+    # datfile; here the live tree must match what was saved)
+    if int(d["ndim"]) != t.ndim:
+        raise ValueError("restart: incompatible ndim")
+    if str(d["coord"]) != t.coord:
+        raise ValueError("restart: incompatible coordinate system")
+    for key, live in (("domain_len", t.domain_len), ("r_base", t.r_base)):
+        if not np.allclose(np.asarray(d[key], np.float64),
+                           np.asarray(live, np.float64), rtol=1e-12):
+            raise ValueError(f"restart: incompatible {key}")
+    if not np.array_equal(np.asarray(d["coarse_grid_size"]),
+                          np.asarray(t.coarse_grid_size)):
+        raise ValueError("restart: incompatible coarse_grid_size")
+    if not np.array_equal(np.asarray(d["periodic"], bool),
+                          np.asarray(t.periodic, bool)):
+        raise ValueError("restart: incompatible periodicity")
     n = int(d["highest_id"])
-    t.highest_id = n
     if n > t.cap:
+        # grow BEFORE setting highest_id (grow copies highest_id rows)
         t._grow(n + 64)
+    t.highest_id = n
     t.lvl[:n] = d["lvl"]
     t.ix[:n] = d["ix"]
     t.parent[:n] = d["parent"]
@@ -89,6 +108,7 @@ def read_checkpoint(fname: str, sim) -> None:
     sim.cc[:, :n] = cc
     sim.fc[:, :, :n] = fc
     sim.it = int(d["payload_it"])
+    sim.out_cnt = int(d.get("payload_out_cnt", 0))
     sim.global_time = float(d["payload_global_time"])
     sim.global_dt = float(d["payload_global_dt"])
     sim._photoi_prev_time = float(d["payload_photoi_prev_time"])

@@ -312,23 +312,6 @@ class PallasSmoother2D:
         )(*gs, phi3, phi3, phi3, phi3, phi3, W, A)
 
 
-def get_pallas_smoother(tree: Tree, lvl: int, op, bc_fn, params,
-                        rb_extrap_mask=None, bc_key=(), i_phi: int = 0):
-    cache = getattr(tree, "_pallas_sm_cache", None)
-    if cache is None or cache.get("epoch") != tree.epoch:
-        cache = {"epoch": tree.epoch}
-        tree._pallas_sm_cache = cache
-    emkey = None
-    if rb_extrap_mask is not None:
-        emkey = tuple(sorted((d, m.tobytes())
-                             for d, m in rb_extrap_mask.items()))
-    key = (lvl, id(op), bc_key, emkey, i_phi)
-    if key not in cache:
-        cache[key] = PallasSmoother2D(tree, lvl, op, bc_fn, params,
-                                      rb_extrap_mask, i_phi=i_phi)
-    return cache[key]
-
-
 class PallasSmoother3D:
     """Fused half sweep for 3D levels: same design as PallasSmoother2D
     with six neighbor blocks and 2D ghost faces written by direct

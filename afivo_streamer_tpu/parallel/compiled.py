@@ -51,14 +51,14 @@ def make_step_fn(sim, n_vcycles: int = 2):
     configured integrator, with field solves between stages) + final field
     solve. Signature: step(cc, fc, dt, voltage) -> (cc, fc, dt_lim)."""
     field_fn = make_field_fixed_vcycles(sim, n_vcycles)
-    sim.fluid.field_compute = field_fn
     integrator = sim.dt_cfg.integrator
 
     def substep(cc, fc, dt, dt_lim, time, s_deriv, s_prev, w_prev, s_out,
                 i_step, n_steps, params):
         return sim.fluid.forward_euler(cc, fc, dt, dt_lim, time, s_deriv,
                                        s_prev, w_prev, s_out, i_step,
-                                       n_steps, params)
+                                       n_steps, params,
+                                       field_compute=field_fn)
 
     def step(cc, fc, dt, voltage):
         params = {"voltage": voltage}

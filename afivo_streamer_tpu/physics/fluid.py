@@ -996,15 +996,19 @@ class FluidModel:
     # ----------------------------------------------------- forward Euler
     def forward_euler(self, cc, fc, dt: float, dt_lim_state, time: float,
                       s_deriv: int, s_prev: List[int], w_prev: List[float],
-                      s_out: int, i_step: int, n_steps: int, params):
+                      s_out: int, i_step: int, n_steps: int, params,
+                      field_compute=None):
         """One explicit sub-step (forward_euler, ``m_fluid.f90:21-99``).
 
-        Returns (cc, fc, dt_lim, diag)."""
+        Returns (cc, fc, dt_lim, diag). ``field_compute`` overrides the
+        wired field solve (used by the compiled step, which substitutes a
+        fixed-V-cycle variant without mutating this model)."""
         import time as _time
         last_step = i_step == n_steps
-        if i_step > 1 and self.field_compute is not None:
+        field_compute = field_compute or self.field_compute
+        if i_step > 1 and field_compute is not None:
             t0 = _time.time()
-            cc, fc = self.field_compute(cc, fc, s_deriv, time, True, params)
+            cc, fc = field_compute(cc, fc, s_deriv, time, True, params)
             if self.wc is not None:
                 self.wc["field"] += _time.time() - t0
         t0 = _time.time()
