@@ -332,10 +332,13 @@ def _xp(arr):
 
 
 def _gat(cc, ivs, ids, sidx):
-    """Gather cc values: returns [n_iv, n, F]. Works for numpy and jnp."""
+    """Gather cc values: returns [n_iv, n, F]. Works for numpy and jnp
+    (and for traced plan leaves via sp.aix)."""
     ivs = np.asarray(ivs)
-    ids = np.asarray(ids)
-    sidx = np.atleast_1d(np.asarray(sidx))
+    ids = sp.aix(ids)
+    sidx = sp.aix(sidx)
+    if sidx.ndim == 0:
+        sidx = sidx.reshape(1)
     if sidx.ndim == 1:
         return cc[ivs[:, None, None], ids[None, :, None], sidx[None, None, :]]
     return cc[ivs[:, None, None], ids[None, :, None], sidx[None, :, :]]
@@ -343,8 +346,10 @@ def _gat(cc, ivs, ids, sidx):
 
 def _scat(cc, ivs, ids, sidx, vals):
     ivs = np.asarray(ivs)
-    ids = np.asarray(ids)
-    sidx = np.atleast_1d(np.asarray(sidx))
+    ids = sp.aix(ids)
+    sidx = sp.aix(sidx)
+    if sidx.ndim == 0:
+        sidx = sidx.reshape(1)
     if sidx.ndim == 1:
         idx = (ivs[:, None, None], ids[None, :, None], sidx[None, None, :])
     else:
@@ -353,6 +358,15 @@ def _scat(cc, ivs, ids, sidx, vals):
         cc[idx] = vals
         return cc
     return cc.at[idx].set(vals)
+
+
+def cast_bc(val, like):
+    """Cast NumPy BC values/coords-derived constants to the traced operand
+    dtype (a np.float64 value would promote a traced f32 fill to f64)."""
+    if isinstance(val, (np.ndarray, np.generic)) \
+            and not isinstance(like, np.ndarray):
+        return np.asarray(val).astype(like.dtype)
+    return val
 
 
 def bc_to_ghost(bc_type: int, bc_val, inner1, inner2, dr_dim: float,
@@ -422,8 +436,9 @@ def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
             out = []
             for i, iv in enumerate(ivs):
                 bc_type, bc_val = bc_fn(int(iv), d, p.bc_coords, params)
-                out.append(bc_to_ghost(bc_type, bc_val, in1[i], in2[i],
-                                       plan.dr[dim], not low))
+                out.append(bc_to_ghost(bc_type, cast_bc(bc_val, cc),
+                                       in1[i], in2[i],
+                                       float(plan.dr[dim]), not low))
             cc = _scat(cc, ivs, p.bc_ids, p.ghost_sidx, _xp(cc).stack(out))
         # --- refinement boundaries
         if len(p.rb_ids):

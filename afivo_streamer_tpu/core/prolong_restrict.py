@@ -122,6 +122,7 @@ class ProlongRestrictPlan:
             par = tree.parent[ch]
             tb = parity_tables(ndim, nc, parity)
             cyl_w = None
+            self_cyl_corr = None
             if tree.coord == "cyl":
                 # cylindrical child weights for restriction
                 # (af_cyl_child_weights, m_af_types.f90:1186-1197): per parent
@@ -134,8 +135,14 @@ class ProlongRestrictPlan:
                 r_c = r0[:, None] + (i_c[None, :] - 0.5) * drp[:, None]
                 tmp = 0.25 * drp[:, None] / r_c
                 cyl_w = np.stack([1.0 - tmp, 1.0 + tmp], axis=-1)  # [n,Cc,2]
+                # conservative-prolongation correction: -0.25 dr_p / r at
+                # each fine cell's containing coarse cell
+                # (af_prolong_linear_cons, m_af_prolong.f90:472-476)
+                r_near = (r0[:, None]
+                          + (tb.c1_nd[None, :, 0] - 0.5) * drp[:, None])
+                self_cyl_corr = -0.25 * drp[:, None] / r_near  # [n, C]
             self.groups.append((tb, par.astype(np.int32), ch.astype(np.int32),
-                                cyl_w))
+                                cyl_w, self_cyl_corr))
 
 
 def get_full_plan(tree: Tree, lvl: int) -> ProlongRestrictPlan:
@@ -154,13 +161,13 @@ def _xp(a):
 
 
 def _gat(cc, ivs, ids, sidx):
-    ivs = np.asarray(ivs); ids = np.asarray(ids); sidx = np.asarray(sidx)
+    ivs = np.asarray(ivs); ids = sp.aix(ids); sidx = sp.aix(sidx)
     return cc[ivs[:, None, None], ids[None, :, None], sidx[None, None, :]]
 
 
 def _scat_pr(cc, ivs, ids, sidx, vals, add=False):
-    idx = (np.asarray(ivs)[:, None, None], np.asarray(ids)[None, :, None],
-           np.asarray(sidx)[None, None, :])
+    idx = (np.asarray(ivs)[:, None, None], sp.aix(ids)[None, :, None],
+           sp.aix(sidx)[None, None, :])
     if isinstance(cc, np.ndarray):
         if add:
             cc[idx] += vals
@@ -173,8 +180,9 @@ def _scat_pr(cc, ivs, ids, sidx, vals, add=False):
 def _cst(a, like):
     """Cast a NumPy constant array to the dtype of the operand so f64
     constants do not promote a traced f32 computation to emulated f64."""
-    if isinstance(a, np.ndarray) and not isinstance(like, np.ndarray):
-        return a.astype(like.dtype)
+    if isinstance(a, (np.ndarray, np.generic)) \
+            and not isinstance(like, np.ndarray):
+        return np.asarray(a).astype(like.dtype)
     return a
 
 
@@ -189,7 +197,7 @@ def prolong(cc, plan: ProlongRestrictPlan, ivs, method: str,
     ivs_to = ivs if ivs_to is None else np.asarray(ivs_to, np.int32)
     if limiter is None:
         limiter = default_prolong_limiter(ndim)
-    for tb, par, ch, cyl_w in plan.groups:
+    for tb, par, ch, cyl_w, cyl_corr in plan.groups:
         if method == "zeroth":
             fine = _gat(cc, ivs, par, tb.near)
         elif method == "sparse":
@@ -219,10 +227,11 @@ def prolong(cc, plan: ProlongRestrictPlan, ivs, method: str,
                 else:
                     fd = 0.125 * (hi - lo)
                 if method == "linear_cons" and plan.coord == "cyl" and d == 0:
-                    # conservative cylindrical correction
+                    # conservative cylindrical correction: the constant
+                    # term shifts by -0.25 dr_p f_r / r_c so the prolonged
+                    # field conserves the radial volume integral
                     # (af_prolong_linear_cons, m_af_prolong.f90:472-476)
-                    raise NotImplementedError(
-                        "linear_cons in cylindrical coordinates")
+                    fine = fine + _cst(cyl_corr, fd)[None] * fd
                 fine = fine + _cst(sgn, fd)[None, None, :, d] * fd
         else:
             raise ValueError(f"unknown prolongation method {method}")
@@ -234,7 +243,7 @@ def restrict(cc, plan: ProlongRestrictPlan, ivs, use_geometry: bool = True):
     """Restrict child interiors into parents (af_restrict_box)."""
     ndim = plan.ndim
     ivs = np.asarray(ivs, np.int32)
-    for tb, par, ch, cyl_w in plan.groups:
+    for tb, par, ch, cyl_w, _ in plan.groups:
         srcs = [_gat(cc, ivs, ch, s) for s in tb.restrict_src]
         if plan.coord == "cyl" and use_geometry and cyl_w is not None:
             # children source order: bits over dims; dim 0 (r) bit selects

@@ -26,7 +26,7 @@ def cc_get_interior(cc, iv: int, ids, nc: int, ndim: int):
     if isinstance(cc, np.ndarray):
         sidx = sp.interior_flat(ndim, nc)
         return cc[iv, np.asarray(ids)[:, None], sidx[None, :]]
-    idsj = jnp.asarray(np.asarray(ids))
+    idsj = jnp.asarray(sp.aix(ids))
     B = cc[iv, idsj].reshape((len(ids),) + (nc + 2,) * ndim)
     return B[_interior_sl(nc, ndim)].reshape(len(ids), -1)
 
@@ -38,7 +38,7 @@ def cc_set_interior(cc, iv: int, ids, vals, nc: int, ndim: int):
         sidx = sp.interior_flat(ndim, nc)
         cc[iv, np.asarray(ids)[:, None], sidx[None, :]] = flat
         return cc
-    idsj = jnp.asarray(np.asarray(ids))
+    idsj = jnp.asarray(sp.aix(ids))
     B = cc[iv, idsj].reshape((len(ids),) + (nc + 2,) * ndim)
     B = B.at[_interior_sl(nc, ndim)].set(
         flat.reshape((len(ids),) + (nc,) * ndim))
@@ -52,7 +52,7 @@ def cc_add_interior(cc, iv: int, ids, vals, nc: int, ndim: int):
         sidx = sp.interior_flat(ndim, nc)
         cc[iv, np.asarray(ids)[:, None], sidx[None, :]] += flat
         return cc
-    idsj = jnp.asarray(np.asarray(ids))
+    idsj = jnp.asarray(sp.aix(ids))
     B = cc[iv, idsj].reshape((len(ids),) + (nc + 2,) * ndim)
     B = B.at[_interior_sl(nc, ndim)].add(
         flat.reshape((len(ids),) + (nc,) * ndim))
@@ -74,7 +74,7 @@ def fc_get_faces(fc, f_iv: int, d: int, ids, nc: int, ndim: int):
         fidx = sp.fc_flat(ndim, nc, *faxes)
         return fc[f_iv, d, np.asarray(ids)[:, None],
                   fidx[None, :]].reshape(shape)
-    idsj = jnp.asarray(np.asarray(ids))
+    idsj = jnp.asarray(sp.aix(ids))
     B = fc[f_iv, d, idsj].reshape((len(ids),) + (nc + 1,) * ndim)
     return B[_face_sl(nc, ndim, d)]
 
@@ -90,7 +90,7 @@ def fc_set_faces(fc, f_iv: int, d: int, ids, vals, nc: int, ndim: int):
         fc[f_iv, d, np.asarray(ids)[:, None], fidx[None, :]] = \
             vals.reshape(len(ids), -1)
         return fc
-    idsj = jnp.asarray(np.asarray(ids))
+    idsj = jnp.asarray(sp.aix(ids))
     B = fc[f_iv, d, idsj].reshape((len(ids),) + (nc + 1,) * ndim)
     B = B.at[_face_sl(nc, ndim, d)].set(vals.reshape(shape))
     return fc.at[f_iv, d, idsj].set(B.reshape(len(ids), -1))

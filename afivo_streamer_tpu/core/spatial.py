@@ -21,6 +21,21 @@ import numpy as np
 IdxLike = Union[int, Sequence[int], np.ndarray]
 
 
+def aix(x):
+    """Index-array coercion that passes JAX arrays/tracers through.
+
+    Plan index tables are NumPy constants on the host path, but become
+    traced leaves when a plan is passed as a jit argument (the epoch-pack
+    design: topology tables are runtime inputs, so a refinement epoch with
+    unchanged bucket shapes reuses the compiled step)."""
+    if isinstance(x, np.ndarray):
+        return x
+    import jax
+    if isinstance(x, (jax.Array, jax.core.Tracer)):
+        return x
+    return np.asarray(x)
+
+
 def _as_axes(nc: int, per_dim: Sequence[IdxLike]) -> List[np.ndarray]:
     axes = []
     for a in per_dim:

@@ -882,15 +882,16 @@ class Simulation:
 
     def _advance_gas(self, dt, time, params):
         """af_advance on the Euler variables (streamer.f90:330-333)."""
-        from .physics.advance import SCHEMES
-        steps = SCHEMES[self.dt_cfg.integrator]
-        dt_lim = None
-        for i_step, (f, toff, s_deriv, s_prev, w_prev, s_out) in \
-                enumerate(steps):
-            self.cc, self.fc, dt_lim = self.gasdyn.forward_euler(
-                self.cc, self.fc, f * dt, dt_lim, time + toff * dt, s_deriv,
-                s_prev, w_prev, s_out, i_step + 1, len(steps), params,
-                fluid=self.fluid)
+        def substep(cc, fc, dt_s, dt_lim, time_s, s_deriv, s_prev, w_prev,
+                    s_out, i_step, n_steps, params_s):
+            cc, fc, dt_lim = self.gasdyn.forward_euler(
+                cc, fc, dt_s, dt_lim, time_s, s_deriv, s_prev, w_prev,
+                s_out, i_step, n_steps, params_s, fluid=self.fluid)
+            return cc, fc, dt_lim, {}
+
+        self.cc, self.fc, dt_lim, _, _ = adv.advance(
+            self.cc, self.fc, dt, time, self.dt_cfg.integrator, substep,
+            params)
         return float(dt_lim)
 
     def _copy_state(self, n_states: int):

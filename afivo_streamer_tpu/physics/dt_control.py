@@ -3,15 +3,11 @@
 from __future__ import annotations
 
 
+from .advance import N_STEPS as INTEGRATOR_NUM_STEPS
+
 INTEGRATOR_NAMES = ["forward_euler", "heuns_method", "midpoint_method",
                     "ssprk33", "ssprk43", "imex_euler", "imex_trapezoidal",
                     "rk4"]
-
-#: number of sub-steps per scheme (af_advance_num_steps,
-#: ``m_af_advance.f90:40-44``)
-INTEGRATOR_NUM_STEPS = {"forward_euler": 1, "heuns_method": 2,
-                        "midpoint_method": 2, "ssprk33": 3, "ssprk43": 4,
-                        "imex_euler": 1, "imex_trapezoidal": 2, "rk4": 4}
 
 
 class DtConfig:

@@ -311,7 +311,9 @@ class FieldSolver:
         allids = np.concatenate([np.asarray(ids) for ids in t.lvl_ids])
         acc = 0.0
         for s_cc, q in zip(self.charged_species_cc, self.charged_sign):
-            acc = acc + (q * fac) * cc[s_cc + s_in, allids]
+            # float(): a np.float64 scalar would promote a traced f32
+            # state to emulated f64
+            acc = acc + (float(q) * fac) * cc[s_cc + s_in, allids]
         if isinstance(cc, np.ndarray):
             cc[self.i_rhs, allids] = acc
         else:

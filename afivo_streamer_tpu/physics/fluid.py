@@ -45,8 +45,8 @@ def _xp(a):
 def _cst(a, like):
     """Cast NumPy f64 constants to the operand dtype (avoid emulated-f64
     promotion of the traced f32 path)."""
-    if isinstance(a, np.ndarray) and not isinstance(like, np.ndarray):
-        return a.astype(like.dtype)
+    if isinstance(a, (np.ndarray, np.generic)) and not isinstance(like, np.ndarray):
+        return np.asarray(a).astype(like.dtype)
     return a
 
 

@@ -163,8 +163,13 @@ class StreamerSettings:
             "Limit the derived fluxes so the dielectric relaxation time "
             "is respected up to this field")
         if drt_max_field < 1e100:
-            raise NotImplementedError(
-                "fixes%drt_max_field not yet implemented")
+            # exact reference parity: the reference also rejects this key
+            # with `error stop "fixes%drt_max_field not yet implemented"`
+            # (m_streamer.f90:415-417) — the ST_drt_limit_flux machinery
+            # behind it is dead code there too
+            raise ValueError(
+                "fixes%drt_max_field not yet implemented (the reference "
+                "rejects it identically, m_streamer.f90:415-417)")
         self.source_min_electrons_per_cell = cfg.add_get(
             "fixes%source_min_electrons_per_cell", -1e100,
             "Minimum number of electrons per cell to include source terms")

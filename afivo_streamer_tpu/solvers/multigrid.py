@@ -32,7 +32,7 @@ from ..core import ghostcell as gc
 from ..core import prolong_restrict as pr
 from ..core import rowops as ro
 from ..core.tree import Tree
-from .coarse import CoarseSolver
+from .coarse import CoarseSolver, make_coarse_solver
 
 
 def _xp(a):
@@ -41,7 +41,7 @@ def _xp(a):
 
 def blocks(cc, iv: int, ids, nc: int, ndim: int):
     """Gather level blocks: [n] + [nc+2]^ndim."""
-    out = cc[iv, np.asarray(ids)]
+    out = cc[iv, sp.aix(ids)]
     return out.reshape((len(ids),) + (nc + 2,) * ndim)
 
 
@@ -56,7 +56,7 @@ def scatter_interior(cc, iv: int, ids, vals_int, nc: int, ndim: int):
     if isinstance(cc, np.ndarray):
         cc[iv, np.asarray(ids)[:, None], sidx[None, :]] = flat
         return cc
-    idsj = jnp.asarray(np.asarray(ids))
+    idsj = jnp.asarray(sp.aix(ids))
     B = cc[iv, idsj].reshape((len(ids),) + (nc + 2,) * ndim)
     B = B.at[(slice(None),) + (slice(1, nc + 1),) * ndim].set(
         flat.reshape((len(ids),) + (nc,) * ndim))
@@ -96,7 +96,9 @@ class LevelOp:
         ids = tree.lvl_ids[lvl - 1]
         c_nb = []
         for d in range(2 * ndim):
-            c_nb.append(inv_dr2[d // 2])
+            # Python float, not np.float64: a NumPy scalar would promote
+            # a traced f32 computation to emulated f64
+            c_nb.append(float(inv_dr2[d // 2]))
         c0 = -2.0 * float(np.sum(inv_dr2)) - lam
         if tree.coord == "cyl":
             # radial flux factors per box (dim 0 is r)
@@ -197,8 +199,8 @@ class LevelOp:
     def _cst(a, like):
         """Cast NumPy f64 coefficient arrays to the operand dtype so a
         traced f32 computation is not promoted to emulated f64."""
-        if isinstance(a, np.ndarray) and not isinstance(like, np.ndarray):
-            return a.astype(like.dtype)
+        if isinstance(a, (np.ndarray, np.generic)) and not isinstance(like, np.ndarray):
+            return np.asarray(a).astype(like.dtype)
         return a
 
     def apply(self, B, nc: int, ndim: int, ids=None, phi_b=0.0):
@@ -280,8 +282,8 @@ class Multigrid:
             # stencil as the fine-grid smoother or FAS stalls
             op1 = (self._op(1) if (self.lsf_data is not None
                                    or self.eps_data is not None) else None)
-            self._coarse = CoarseSolver(self.tree, self.sides_bc, self.lam,
-                                        level1_op=op1)
+            self._coarse = make_coarse_solver(self.tree, self.sides_bc,
+                                              self.lam, level1_op=op1)
         return self._coarse
 
     def _veps_mask(self, lvl: int, plan):

@@ -193,3 +193,43 @@ def test_poisson_dielectric_capacitor(refine):
             itr = tuple([slice(1, nc + 1)] * ndim)
             err = max(err, np.max(np.abs(got[itr] - phi_f(r)[itr])))
     assert err < 1e-8 * V, f"capacitor solution error {err}"
+
+
+@pytest.mark.parametrize("coord", ["xyz", "cyl"])
+def test_large_coarse_grid_uniform_mg(coord):
+    """Coarse grids beyond the dense-solve cap use the geometric uniform
+    multigrid (the PFMG analog, m_coarse_solver.f90:15-21): solve Poisson
+    on a 256x256 level-1-only tree (65k unknowns > 32k dense cap)."""
+    from afivo_streamer_tpu.solvers.coarse import UniformCoarseMG
+    nc, n1, ndim = 8, 256, 2
+    t = Tree(ndim, nc, [1.0] * ndim, [n1] * ndim, coord=coord)
+    batch = BoxBatch(t, 3, 0)
+    cc = np.array(batch.cc)
+    phi_f, rhs_f = exact_and_rhs(ndim, coord)
+    for b in t.lvl_ids[0]:
+        r = t.cell_coords(int(b))
+        cc[I_RHS, int(b)] = rhs_f(r).ravel()
+
+    def bc(iv, d, coords, params):
+        if coord == "cyl" and d == 0:
+            return gc.BC_NEUMANN, 0.0
+        return gc.BC_DIRICHLET, phi_f(coords)
+
+    mg = Multigrid(t, I_PHI, I_RHS, I_TMP, bc)
+    assert isinstance(mg.coarse_solver(), UniformCoarseMG)
+    cc = mg.fill_ghosts_phi(cc, {})
+    cc = mg.fas_fmg(cc, {}, set_residual=True, have_guess=False)
+    res = float(mg.max_abs_residual(cc))
+    max_rhs = float(np.max(np.abs(cc[I_RHS])))
+    assert res < 1e-8 * max(max_rhs, 1.0), f"coarse MG did not converge: {res}"
+
+    err = 0.0
+    for b in t.lvl_leaves[0]:
+        r = t.cell_coords(int(b))
+        got = cc[I_PHI, int(b)].reshape([nc + 2] * ndim)
+        expect = phi_f(r)
+        itr = tuple([slice(1, nc + 1)] * ndim)
+        err = max(err, np.max(np.abs(got[itr] - expect[itr])))
+    h = float(t.lvl_dr(1).max())
+    scale = 1.0 if coord == "cyl" else 4.0 * np.pi**2
+    assert err < 2.0 * scale * h**2, f"error {err} too large (h={h})"

@@ -237,3 +237,35 @@ def test_restrict_cyl_weights():
     tmp = 0.25 * drp / r_c
     expect = 0.5 * ((1 - tmp) * (r_c - drp / 4) + (1 + tmp) * (r_c + drp / 4))
     assert np.allclose(got[1:-1, 1:-1], expect, rtol=1e-12)
+
+
+def test_prolong_linear_cons_cyl_conserves():
+    """Cylindrical conservative prolongation preserves the volume integral
+    per coarse cell (af_prolong_linear_cons, m_af_prolong.f90:472-476)."""
+    nc = 4
+    t = Tree(2, nc, [1.0, 1.0], [8, 8], coord="cyl")
+    t.refine_up_to_lvl(2)
+    batch = BoxBatch(t, 1, 0)
+    cc0 = np.array(batch.cc)
+    rng = np.random.default_rng(1)
+    for b in t.lvl_ids[0]:
+        cc0[0, int(b)] = rng.random((nc + 2) ** 2)
+    for b in t.lvl_ids[1]:
+        cc0[0, int(b)] = 0.0
+    plan = pr.get_full_plan(t, 2)
+    cc = pr.prolong(cc0.copy(), plan, [0], "linear_cons")
+    # per coarse cell: sum_children r_f u_f / 4 == r_c u_c
+    for p in t.lvl_ids[0]:
+        p = int(p)
+        got = np.zeros((nc, nc))
+        for c in t.children[p]:
+            off = t.child_offset(int(c))
+            v = np.asarray(cc[0, int(c)]).reshape(nc + 2, nc + 2)
+            r = t.cell_coords(int(c))[..., 0]
+            ru = (v * r)[1:-1, 1:-1]
+            # sum fine 2x2 blocks into the coarse cells they cover
+            s = ru.reshape(nc // 2, 2, nc // 2, 2).sum(axis=(1, 3)) / 4.0
+            got[off[0]:off[0] + nc // 2, off[1]:off[1] + nc // 2] += s
+        pv = np.asarray(cc0[0, p]).reshape(nc + 2, nc + 2)[1:-1, 1:-1]
+        r_c = t.cell_coords(p)[1:-1, 1:-1, 0]
+        assert np.allclose(got, pv * r_c, rtol=1e-12)
