@@ -63,15 +63,23 @@ class _DirPlan:
 
 
 class GcLevelPlan:
-    """All index tables to fill one ghost layer on one level."""
+    """All index tables to fill one ghost layer on one level.
 
-    def __init__(self, tree: Tree, lvl: int):
+    With ``pad=True`` every case table is padded to a power-of-two bucket
+    (core/treepack.py): padded entries gather from and scatter to the
+    reserved trash box, so plans of different epochs with equal bucket
+    shapes can reuse one compiled fill."""
+
+    def __init__(self, tree: Tree, lvl: int, pad: bool = False,
+                 trash: int = 0):
         ndim, nc = tree.ndim, tree.nc
         self.ndim, self.nc, self.lvl = ndim, nc, lvl
         self.dr = tree.lvl_dr(lvl)
         ids = tree.lvl_ids[lvl - 1]
         self.dirs: List[_DirPlan] = []
         hnc = nc // 2
+        if pad:
+            from . import treepack as tp
 
         for d in range(2 * ndim):
             dim, low = neighb_dim(d), neighb_low(d)
@@ -223,6 +231,25 @@ class GcLevelPlan:
                         pcopy[n_i] = sp.cc_flat_nd(3, nc, v)
                 p.rb_c1, p.rb_c2, p.rb_c3 = c1, c2, c3
                 p.rb_tmp, p.rb_pcopy = tmp, pcopy
+            if pad:
+                nb = tp.bucket(len(p.copy_ids))
+                p.copy_ids = tp.pad_ids(p.copy_ids, nb, trash)
+                p.copy_nb = tp.pad_ids(p.copy_nb, nb, trash)
+                nb = tp.bucket(len(p.bc_ids))
+                p.bc_ids = tp.pad_ids(p.bc_ids, nb, trash)
+                if p.bc_coords is not None:
+                    p.bc_coords = tp.pad_rows(p.bc_coords, nb)
+                nb = tp.bucket(len(p.rb_ids))
+                p.rb_ids = tp.pad_ids(p.rb_ids, nb, trash)
+                if nb > 0 and p.rb_c1 is not None:
+                    p.rb_coarse = tp.pad_ids(p.rb_coarse, nb, trash)
+                    p.rb_parent = tp.pad_ids(p.rb_parent, nb, trash)
+                    p.rb_c1 = tp.pad_rows(p.rb_c1, nb)
+                    p.rb_c2 = tp.pad_rows(p.rb_c2, nb)
+                    if p.rb_c3 is not None:
+                        p.rb_c3 = tp.pad_rows(p.rb_c3, nb)
+                    p.rb_tmp = tp.pad_rows(p.rb_tmp, nb)
+                    p.rb_pcopy = tp.pad_rows(p.rb_pcopy, nb)
             self.dirs.append(p)
 
         # ------------------------------------------------ corner/edge plans
@@ -251,6 +278,13 @@ class GcLevelPlan:
                     "copy_nb": np.asarray(copy_nb, np.int32),
                     "ext_ids": np.asarray(ext_ids, np.int32),
                 }
+                if pad:
+                    nb2 = tp.bucket(len(plan["copy_ids"]))
+                    plan["copy_ids"] = tp.pad_ids(plan["copy_ids"], nb2, trash)
+                    plan["copy_nb"] = tp.pad_ids(plan["copy_nb"], nb2, trash)
+                    plan["ext_ids"] = tp.pad_ids(
+                        plan["ext_ids"], tp.bucket(len(plan["ext_ids"])),
+                        trash)
                 # extrapolation neighbors (af_corner_gc_extrap)
                 if ndim == 2:
                     a = pos.copy(); a[0] += di[0]
@@ -313,6 +347,15 @@ class GcLevelPlan:
                         "ext_b": line_idx(g0, g1 + di2[1], run),
                         "ext_c": line_idx(g0 + di2[0], g1 + di2[1], run),
                     }
+                    if pad:
+                        nb2 = tp.bucket(len(plan["copy_ids"]))
+                        plan["copy_ids"] = tp.pad_ids(plan["copy_ids"], nb2,
+                                                      trash)
+                        plan["copy_nb"] = tp.pad_ids(plan["copy_nb"], nb2,
+                                                     trash)
+                        plan["ext_ids"] = tp.pad_ids(
+                            plan["ext_ids"],
+                            tp.bucket(len(plan["ext_ids"])), trash)
                     self.edge_plans.append(plan)
 
 

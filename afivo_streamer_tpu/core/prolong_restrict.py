@@ -42,6 +42,7 @@ class _ParityTables:
     """Static index tables for one child parity."""
 
     def __init__(self, ndim: int, nc: int, parity: Tuple[int, ...]):
+        self.parity = tuple(parity)
         hnc = nc // 2
         i = np.arange(1, nc + 1)  # fine interior (1-based)
         c1_1d = [parity[d] * hnc + (i + 1) // 2 for d in range(ndim)]
@@ -107,11 +108,12 @@ class ProlongRestrictPlan:
     """Pairs (parent, child) grouped by parity, for an arbitrary set of
     children (a full level, or the newly added boxes of an epoch)."""
 
-    def __init__(self, tree: Tree, child_ids):
+    def __init__(self, tree: Tree, child_ids, pad: bool = False,
+                 trash: int = 0):
         ndim, nc = tree.ndim, tree.nc
         self.ndim, self.nc = ndim, nc
         self.coord = tree.coord
-        self.groups = []  # (tables, parent_ids, child_ids, cyl_w)
+        self.groups = []  # (tables, parent_ids, child_ids, cyl_w, cyl_corr)
         child_ids = np.asarray(child_ids, dtype=np.int64)
         parities = tree.ix[child_ids] % 2
         for parity in itertools.product([0, 1], repeat=ndim):
@@ -141,8 +143,17 @@ class ProlongRestrictPlan:
                 r_near = (r0[:, None]
                           + (tb.c1_nd[None, :, 0] - 0.5) * drp[:, None])
                 self_cyl_corr = -0.25 * drp[:, None] / r_near  # [n, C]
-            self.groups.append((tb, par.astype(np.int32), ch.astype(np.int32),
-                                cyl_w, self_cyl_corr))
+            par = par.astype(np.int32)
+            ch = ch.astype(np.int32)
+            if pad:
+                from . import treepack as tp
+                nb = tp.bucket(len(ch))
+                par = tp.pad_ids(par, nb, trash)
+                ch = tp.pad_ids(ch, nb, trash)
+                if cyl_w is not None:
+                    cyl_w = tp.pad_rows(cyl_w, nb)
+                    self_cyl_corr = tp.pad_rows(self_cyl_corr, nb)
+            self.groups.append((tb, par, ch, cyl_w, self_cyl_corr))
 
 
 def get_full_plan(tree: Tree, lvl: int) -> ProlongRestrictPlan:
@@ -260,9 +271,13 @@ def restrict(cc, plan: ProlongRestrictPlan, ivs, use_geometry: bool = True):
     return cc
 
 
-def restrict_tree(cc, tree: Tree, ivs, use_geometry: bool = True):
-    """Restrict all levels downward (af_restrict_tree)."""
-    for lvl in range(tree.highest_lvl, 1, -1):
-        plan = get_full_plan(tree, lvl)
+def restrict_tree(cc, tree: Tree, ivs, use_geometry: bool = True,
+                  pack=None):
+    """Restrict all levels downward (af_restrict_tree). With ``pack``
+    the per-level plans come from the epoch pack (compiled path)."""
+    n_levels = pack.n_levels if pack is not None else tree.highest_lvl
+    for lvl in range(n_levels, 1, -1):
+        plan = pack.pr[lvl - 1] if pack is not None else \
+            get_full_plan(tree, lvl)
         cc = restrict(cc, plan, ivs, use_geometry)
     return cc

@@ -1,0 +1,428 @@
+"""Epoch pack: all topology-derived tables of one refinement epoch as a
+JAX pytree, so the compiled step takes them as *runtime arguments*.
+
+The reference re-meshes every ``refine_per_steps`` steps
+(``src/m_refine.f90:10-13``); baking index plans into the jit as constants
+(round-1 design) retraces on every mesh change. Here every plan class is
+registered as a pytree whose index/weight tables are leaves: jit caches on
+the pytree *structure and shapes*, so two epochs whose tables share shapes
+reuse the compiled executable. Shape stability across epochs comes from
+**bucketed padding** (SURVEY.md section 7.3): every topology-length table is
+padded to the next power of two, with padded entries made inert by
+
+* gathering from / scattering to a reserved **trash box** (the last row of
+  the state arrays, zeroed at the start of each compiled unit), and
+* validity masks on the per-leaf/per-box reductions (dt limits, residuals,
+  volume integrals), carried in :class:`LevelTables`.
+
+The host (NumPy) path uses the exact same objects unpadded.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+
+from . import ghostcell as gc
+from . import prolong_restrict as pr
+from .tree import Tree
+
+
+# ---------------------------------------------------------------------------
+# padding helpers
+# ---------------------------------------------------------------------------
+def bucket(n: int) -> int:
+    """Shape bucket: next power of two (>= 4 for non-empty tables)."""
+    if n <= 0:
+        return 0
+    b = 4
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_ids(a: np.ndarray, n_pad: int, trash: int) -> np.ndarray:
+    """Pad a box-id table along axis 0 with the trash box."""
+    if n_pad <= len(a):
+        return a
+    out = np.full((n_pad,) + a.shape[1:], trash, a.dtype)
+    out[:len(a)] = a
+    return out
+
+
+def pad_rows(a: np.ndarray, n_pad: int) -> np.ndarray:
+    """Pad a per-entry table along axis 0 by repeating the last row
+    (harmless: the padded entry's scatter targets the trash box)."""
+    if n_pad <= len(a) or len(a) == 0:
+        return a
+    reps = np.broadcast_to(a[-1:], (n_pad - len(a),) + a.shape[1:])
+    return np.concatenate([a, reps], axis=0)
+
+
+def pad_pos(a: np.ndarray, n_pad: int, pos: int) -> np.ndarray:
+    """Pad a position table along axis 0 with a fixed position."""
+    if n_pad <= len(a):
+        return a
+    out = np.full((n_pad,) + a.shape[1:], pos, a.dtype)
+    out[:len(a)] = a
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-level topology/geometry tables
+# ---------------------------------------------------------------------------
+class LevelTables:
+    """Box-id lists and geometry factors of one level, with optional
+    padding and validity masks (the pack analog of ``tree%lvls(lvl)``,
+    ``m_af_types.f90:326-393``)."""
+
+    def __init__(self, tree: Tree, lvl: int, pad: bool = False,
+                 trash: int = 0):
+        ndim, nc = tree.ndim, tree.nc
+        self.lvl = lvl
+        ids = np.asarray(tree.lvl_ids[lvl - 1], np.int32)
+        leaves = np.asarray(tree.lvl_leaves[lvl - 1], np.int32)
+        parents = np.asarray(tree.lvl_parents[lvl - 1], np.int32)
+        self.n_ids = len(ids)
+        self.n_leaves = len(leaves)
+        self.n_parents = len(parents)
+        pos = {int(b): i for i, b in enumerate(ids)}
+        leaves_pos = np.array([pos[int(b)] for b in leaves], np.int32)
+        parents_pos = np.array([pos[int(b)] for b in parents], np.int32)
+
+        # geometry on the real leaves BEFORE padding (the trash box has no
+        # tree row): cell volumes and cylindrical radial flux factors
+        # (af_cyl_volume_cc / af_cyl_flux_factors)
+        dr = tree.lvl_dr(lvl)
+        n = len(leaves)
+        if tree.coord == "cyl":
+            r0 = tree.box_r_min(leaves)[:, 0]
+            i = np.arange(1, nc + 1)
+            r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]  # [n, nc]
+            vol = 2.0 * np.pi * r_cc * np.prod(dr)
+            self.vol = np.repeat(vol[:, :, None], nc ** (ndim - 1),
+                                 axis=2).reshape(n, nc ** ndim)
+            self.rfac_lo = (r_cc - 0.5 * dr[0]) / r_cc
+            self.rfac_hi = (r_cc + 0.5 * dr[0]) / r_cc
+        else:
+            self.vol = np.full((n, nc ** ndim), float(np.prod(dr)))
+            self.rfac_lo = None
+            self.rfac_hi = None
+
+        ids_valid = np.ones(len(ids))
+        leaf_valid = np.ones(len(leaves))
+        if pad:
+            nb_ids = bucket(len(ids))
+            nb_leaves = bucket(len(leaves))
+            nb_parents = bucket(len(parents))
+            ids = pad_ids(ids, nb_ids, trash)
+            leaves = pad_ids(leaves, nb_leaves, trash)
+            parents = pad_ids(parents, nb_parents, trash)
+            # padded positions point at the last (possibly padded) id slot
+            leaves_pos = pad_pos(leaves_pos, nb_leaves, nb_ids - 1)
+            parents_pos = pad_pos(parents_pos, nb_parents, nb_ids - 1)
+            ids_valid = np.zeros(nb_ids)
+            ids_valid[:self.n_ids] = 1.0
+            leaf_valid = np.zeros(nb_leaves)
+            leaf_valid[:self.n_leaves] = 1.0
+            self.vol = pad_rows(self.vol, nb_leaves)
+            if self.vol.shape[0] < nb_leaves:  # level with zero leaves
+                self.vol = np.zeros((nb_leaves, nc ** ndim))
+            if self.rfac_lo is not None:
+                self.rfac_lo = pad_rows(self.rfac_lo, nb_leaves)
+                self.rfac_hi = pad_rows(self.rfac_hi, nb_leaves)
+                if self.rfac_lo.shape[0] < nb_leaves:
+                    self.rfac_lo = np.ones((nb_leaves, nc))
+                    self.rfac_hi = np.ones((nb_leaves, nc))
+        self.ids = ids
+        self.leaves = leaves
+        self.parents = parents
+        self.leaves_pos = leaves_pos
+        self.parents_pos = parents_pos
+        self.ids_valid = ids_valid
+        self.leaf_valid = leaf_valid
+
+
+# ---------------------------------------------------------------------------
+# generic pytree registration for plan classes
+# ---------------------------------------------------------------------------
+_ARRAYLIKE = (np.ndarray, jax.Array)
+
+
+def _is_dyn(v) -> bool:
+    return isinstance(v, _ARRAYLIKE) or isinstance(v, jax.core.Tracer)
+
+
+def register_plan(cls, dyn_fields, aux_fields, drop_fields=()):
+    """Register ``cls`` so the attrs in dyn_fields are pytree children
+    (index tables -> traced) and aux_fields are static (hashable values).
+    Attrs in drop_fields are discarded on flatten (rebuild caches)."""
+    dyn_fields = tuple(dyn_fields)
+    aux_fields = tuple(aux_fields)
+
+    def flatten(obj):
+        children = tuple(getattr(obj, k, None) for k in dyn_fields)
+        aux = tuple(_freeze(getattr(obj, k, None)) for k in aux_fields)
+        return children, aux
+
+    def unflatten(aux, children):
+        obj = object.__new__(cls)
+        for k, v in zip(dyn_fields, children):
+            setattr(obj, k, v)
+        for k, v in zip(aux_fields, aux):
+            setattr(obj, k, _thaw(v))
+        for k in drop_fields:
+            setattr(obj, k, None)
+        return obj
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+class _FrozenArray:
+    """Hashable wrapper for a small static NumPy array in pytree aux."""
+
+    __slots__ = ("data", "shape", "dtype")
+
+    def __init__(self, a: np.ndarray):
+        self.data = a.tobytes()
+        self.shape = a.shape
+        self.dtype = a.dtype.str
+
+    def thaw(self) -> np.ndarray:
+        return np.frombuffer(self.data, np.dtype(self.dtype)).reshape(
+            self.shape)
+
+    def __eq__(self, other):
+        return (isinstance(other, _FrozenArray) and self.data == other.data
+                and self.shape == other.shape and self.dtype == other.dtype)
+
+    def __hash__(self):
+        return hash((self.data, self.shape, self.dtype))
+
+
+def _freeze(v):
+    if isinstance(v, np.ndarray):
+        return _FrozenArray(v)
+    if isinstance(v, list):
+        return ("__list__",) + tuple(_freeze(x) for x in v)
+    return v
+
+
+def _thaw(v):
+    if isinstance(v, _FrozenArray):
+        return v.thaw()
+    if isinstance(v, tuple) and len(v) and v[0] == "__list__":
+        return [_thaw(x) for x in v[1:]]
+    return v
+
+
+# ---------------------------------------------------------------------------
+# plan-class registrations
+# ---------------------------------------------------------------------------
+register_plan(
+    gc._DirPlan,
+    dyn_fields=("copy_ids", "copy_nb", "bc_ids", "bc_coords", "rb_ids",
+                "rb_coarse", "rb_parent", "rb_c1", "rb_c2", "rb_c3",
+                "rb_tmp", "rb_pcopy"),
+    aux_fields=("ghost_sidx", "f1_sidx", "f2_sidx", "nbint_sidx"))
+
+register_plan(
+    gc.GcLevelPlan,
+    dyn_fields=("dirs", "corner_plans", "edge_plans"),
+    aux_fields=("ndim", "nc", "lvl", "dr"))
+
+register_plan(
+    LevelTables,
+    dyn_fields=("ids", "leaves", "parents", "leaves_pos", "parents_pos",
+                "ids_valid", "leaf_valid", "vol", "rfac_lo", "rfac_hi"),
+    aux_fields=("lvl", "n_ids", "n_leaves", "n_parents"))
+
+
+def _prp_flatten(p):
+    children = tuple((g[1], g[2], g[3], g[4]) for g in p.groups)
+    aux = (p.ndim, p.nc, p.coord, tuple(g[0].parity for g in p.groups))
+    return children, aux
+
+
+def _prp_unflatten(aux, children):
+    ndim, nc, coord, parities = aux
+    obj = object.__new__(pr.ProlongRestrictPlan)
+    obj.ndim, obj.nc, obj.coord = ndim, nc, coord
+    obj.groups = [(pr.parity_tables(ndim, nc, par),) + tuple(ch)
+                  for par, ch in zip(parities, children)]
+    return obj
+
+
+jax.tree_util.register_pytree_node(pr.ProlongRestrictPlan, _prp_flatten,
+                                   _prp_unflatten)
+
+
+def _op_flatten(op):
+    cnb_dyn = [c if _is_dyn(c) else None for c in op.c_nb]
+    cnb_aux = tuple(None if _is_dyn(c) else float(c) for c in op.c_nb)
+    c0_dyn = op.c0 if _is_dyn(op.c0) else None
+    c0_aux = None if _is_dyn(op.c0) else float(op.c0)
+    children = (c0_dyn, cnb_dyn, op.f, op.bc_coeff, op.ids)
+    aux = (c0_aux, cnb_aux, op.per_box,
+           None if op.veps is None else _freeze(op.veps))
+    return children, aux
+
+
+def _op_unflatten(aux, children):
+    from ..solvers.multigrid import LevelOp
+    obj = object.__new__(LevelOp)
+    c0_dyn, cnb_dyn, obj.f, obj.bc_coeff, obj.ids = children
+    c0_aux, cnb_aux, obj.per_box, veps = aux
+    obj.c0 = c0_dyn if c0_aux is None else c0_aux
+    obj.c_nb = [d if a is None else a for d, a in zip(cnb_dyn, cnb_aux)]
+    obj.veps = None if veps is None else _thaw(veps)
+    return obj
+
+
+def register_level_op():
+    from ..solvers.multigrid import LevelOp
+    try:
+        jax.tree_util.register_pytree_node(LevelOp, _op_flatten,
+                                           _op_unflatten)
+    except ValueError:
+        pass  # already registered
+
+
+_GC2_DIR_AUX = ("dim", "low", "rb_sign_dims")
+
+
+def _gc2_flatten(p):
+    dyn_dirs = [{k: v for k, v in info.items() if k not in _GC2_DIR_AUX}
+                for info in p.dirs]
+    aux_dirs = tuple(
+        tuple((k, tuple(info[k]) if isinstance(info[k], list) else info[k])
+              for k in _GC2_DIR_AUX if k in info)
+        for info in p.dirs)
+    children = (p.leaves, dyn_dirs)
+    aux = (p.ndim, p.nc, p.lvl, _freeze(p.dr), _freeze(p.center_ext),
+           _freeze(p.cc_all), aux_dirs)
+    return children, aux
+
+
+def _gc2_unflatten(aux, children):
+    from ..physics.fluid import Gc2LevelPlan
+    obj = object.__new__(Gc2LevelPlan)
+    obj.leaves, dyn_dirs = children
+    (obj.ndim, obj.nc, obj.lvl, dr, ce, ca, aux_dirs) = aux
+    obj.dr = _thaw(dr)
+    obj.center_ext = _thaw(ce)
+    obj.cc_all = _thaw(ca)
+    obj.leaf_pos = None
+    obj.dirs = []
+    for dyn, auxkv in zip(dyn_dirs, aux_dirs):
+        info = dict(dyn)
+        for k, v in auxkv:
+            info[k] = list(v) if k == "rb_sign_dims" else v
+        obj.dirs.append(info)
+    return obj
+
+
+def register_gc2():
+    from ..physics.fluid import Gc2LevelPlan
+    try:
+        jax.tree_util.register_pytree_node(Gc2LevelPlan, _gc2_flatten,
+                                           _gc2_unflatten)
+    except ValueError:
+        pass
+
+
+class ConsistentGroup:
+    """One (level, direction) flux-matching group (af_consistent_fluxes)."""
+
+    def __init__(self, d, dim, nbs, chs, tgt, src, w):
+        self.d, self.dim = d, dim
+        self.nbs, self.chs, self.tgt = nbs, chs, tgt
+        self.src, self.w = src, w
+
+
+register_plan(ConsistentGroup,
+              dyn_fields=("nbs", "chs", "tgt", "src", "w"),
+              aux_fields=("d", "dim"))
+
+
+# ---------------------------------------------------------------------------
+# the epoch pack
+# ---------------------------------------------------------------------------
+class EpochPack:
+    """All topology-derived plan objects of one epoch, one pytree.
+
+    Built once per refinement epoch (host), passed as a jit argument to
+    every compiled unit. ``pad=True`` buckets every table (see module
+    docstring); the host path uses the same object unpadded."""
+
+    def __init__(self, tree: Tree, pad: bool = False, trash: int = 0,
+                 with_gc2: bool = False):
+        from ..physics.fluid import Gc2LevelPlan
+        L = tree.highest_lvl
+        self.n_levels = L
+        self.pad = pad
+        self.trash = trash
+        self.gc = [gc.GcLevelPlan(tree, l, pad=pad, trash=trash)
+                   for l in range(1, L + 1)]
+        # pr plan for level l prolongs/restricts between l-1 and l
+        self.pr = [None] + [
+            pr.ProlongRestrictPlan(tree, tree.lvl_ids[l - 1], pad=pad,
+                                   trash=trash)
+            for l in range(2, L + 1)]
+        self.tables = [LevelTables(tree, l, pad=pad, trash=trash)
+                       for l in range(1, L + 1)]
+        self.gc2 = None
+        self.consistent = None
+        if with_gc2:
+            from ..physics.fluid import build_consistent_plan
+            self.gc2 = [Gc2LevelPlan(tree, l, pad=pad, trash=trash)
+                        for l in range(1, L + 1)]
+            self.consistent = build_consistent_plan(tree, pad=pad,
+                                                    trash=trash)
+
+
+register_plan(EpochPack,
+              dyn_fields=("gc", "pr", "tables", "gc2", "consistent"),
+              aux_fields=("n_levels", "pad", "trash"))
+
+
+def cast_pack_floats(obj, dtype):
+    """Cast every floating leaf of a plan pytree to ``dtype`` (the f32
+    TPU path must not receive f64 leaves, which would promote the traced
+    computation to emulated f64)."""
+    def cast(leaf):
+        if isinstance(leaf, np.ndarray) and \
+                np.issubdtype(leaf.dtype, np.floating):
+            return leaf.astype(dtype)
+        return leaf
+    return jax.tree_util.tree_map(cast, obj)
+
+
+def get_epoch_pack(tree: Tree, pad: bool = False, trash: int = 0,
+                   with_gc2: bool = False, dtype=None) -> EpochPack:
+    cache = getattr(tree, "_epoch_pack_cache", None)
+    dkey = None if dtype is None else np.dtype(dtype).str
+    key = (pad, trash, with_gc2, dkey)
+    if cache is None or cache.get("epoch") != tree.epoch:
+        cache = {"epoch": tree.epoch}
+        tree._epoch_pack_cache = cache
+    if key not in cache:
+        pack = EpochPack(tree, pad=pad, trash=trash, with_gc2=with_gc2)
+        if dtype is not None and np.dtype(dtype) != np.float64:
+            pack = cast_pack_floats(pack, dtype)
+        cache[key] = pack
+    return cache[key]
+
+
+def get_level_tables(tree: Tree, lvl: int) -> LevelTables:
+    """Host-path per-level tables, cached per epoch (unpadded)."""
+    cache = getattr(tree, "_lvl_tables_cache", None)
+    if cache is None or cache.get("epoch") != tree.epoch:
+        cache = {"epoch": tree.epoch}
+        tree._lvl_tables_cache = cache
+    if lvl not in cache:
+        cache[lvl] = LevelTables(tree, lvl)
+    return cache[lvl]

@@ -282,6 +282,19 @@ class Simulation:
             "Multiplication factor to derefine electrode during interpulse")
         self.refiner.current_electrode_dx = self.refine_cfg.electrode_dx
 
+        # compiled mode: run the inner time step through jitted device
+        # units with the epoch pack as a runtime argument (parallel/
+        # compiled.py, core/treepack.py); refinement epochs with equal
+        # bucket shapes reuse the compiled executables
+        self.compiled_mode = cfg.add_get(
+            "compiled%enabled", False,
+            "Run the inner time step through jitted device units")
+        self.compiled_dtype = cfg.add_get(
+            "compiled%dtype", "float64",
+            "Device dtype of the compiled step (float64 or float32; f64 "
+            "is emulated ~50x slower on TPU)")
+        self._compiled_on = False
+
         self.surfaces = None
         self.dielectric = None
         restart_from = cfg.add_get(
@@ -408,6 +421,51 @@ class Simulation:
                 self.cc[self.i_1pos_ion, boxes[:, None],
                         interior[None, :]] = np.where(
                             at_bnd.reshape(n, -1), ne_new, ni)
+
+    # ------------------------------------------------- compiled engine
+    def _enable_compiled(self):
+        """(Re)configure the compiled engine for the current topology:
+        bucket the state capacity to a power of two, reserve the last row
+        as the trash box, and (re)wire the jitted units."""
+        from .core import treepack as tp
+        if self.gasdyn is not None or self.st.use_electrode \
+                or self.st.use_dielectric or self.st.plasma_region_enabled \
+                or self.model.has_energy_equation:
+            raise ValueError(
+                "compiled%enabled does not support gas dynamics/"
+                "electrodes/dielectrics/plasma regions/energy model yet")
+        self._to_host()
+        cap = tp.bucket(self.tree.highest_id + 1)
+        if self.cc.shape[1] != cap:
+            cc = np.zeros((self.cc.shape[0], cap, self.cc.shape[2]))
+            cc[:, :min(cap, self.cc.shape[1])] = \
+                self.cc[:, :min(cap, self.cc.shape[1])]
+            self.cc = cc
+            fshape = list(self.fc.shape)
+            fshape[2] = cap
+            fcn = np.zeros(fshape)
+            fcn[:, :, :min(cap, self.fc.shape[2])] = \
+                self.fc[:, :, :min(cap, self.fc.shape[2])]
+            self.fc = fcn
+        trash = cap - 1
+        self.field.mg.enable_jit(pad=True, trash=trash)
+        self.fluid.enable_jit(pad=True, trash=trash)
+        self._compiled_on = True
+
+    def _to_device(self):
+        if isinstance(self.cc, np.ndarray):
+            import jax.numpy as jnp
+            dt = (jnp.float32 if self.compiled_dtype == "float32"
+                  else jnp.float64)
+            self.cc = jnp.asarray(self.cc, dt)
+            self.fc = jnp.asarray(self.fc, dt)
+
+    def _to_host(self):
+        if not isinstance(self.cc, np.ndarray):
+            # np.array (copy): np.asarray of a device array is read-only;
+            # the host machinery always works in f64
+            self.cc = np.array(self.cc, np.float64)
+            self.fc = np.array(self.fc, np.float64)
 
     def gc_tree(self, ivs, rb, bc_fn, params=None):
         for lvl in range(1, self.tree.highest_lvl + 1):
@@ -692,16 +750,24 @@ class Simulation:
         fraction_steps_rejected = 0.0
         n_steps_rejected = 0
 
+        if self.compiled_mode and not self._compiled_on:
+            self._enable_compiled()
+
         while True:
             self.it += 1
             if time >= end_time:
                 break
             if max_steps is not None and self.it > max_steps:
                 break
+            if self._compiled_on:
+                self._to_device()
             wc_time = _time.time() - t_start
             if wc_time - time_last_print > self.output.status_delay:
+                self._to_host()
                 self.output.status(self, wc_time)
                 time_last_print = wc_time
+                if self._compiled_on:
+                    self._to_device()
 
             # per-iteration user hook (streamer.f90:181-183)
             if self.user.generic is not None:
@@ -737,11 +803,14 @@ class Simulation:
             if self.photoi.enabled and \
                     self.it % self.photoi.per_steps == 0:
                 t1 = _time.time()
+                self._to_host()
                 self.cc = self.photoi.set_src(
                     self.cc, time - self._photoi_prev_time,
                     {"voltage": self.field.current_voltage})
                 self._photoi_prev_time = time
                 self.wc["photoi"] += _time.time() - t1
+                if self._compiled_on:
+                    self._to_device()
 
             if self.st.use_electrode:
                 self._set_electrode_densities()
@@ -840,12 +909,14 @@ class Simulation:
                 out_cnt += 1
                 self.out_cnt = out_cnt
                 time_last_output = self.global_time
+                self._to_host()
                 self.output_write(out_cnt, _time.time() - t_start)
             self.wc["output"] += _time.time() - t1
 
             # refinement every refine_per_steps (streamer.f90:380-411)
             t1 = _time.time()
             if self.it % self.refine_cfg.per_steps == 0:
+                self._to_host()
                 self.restrict_and_gc_densities()
                 if self.gasdyn is not None:
                     gv = np.asarray(self.gasdyn.gas_vars)
@@ -858,6 +929,10 @@ class Simulation:
                                 self.cc, plan, [iv], m["rb"], m["bc"], {})
                 info = self.adjust_refinement()
                 if info.n_add > 0 or info.n_rm > 0:
+                    if self._compiled_on:
+                        # re-bucket the capacity / trash row and rewire the
+                        # jitted units for the new topology
+                        self._enable_compiled()
                     self.cc, self.fc = self.field.compute(
                         self.cc, self.fc, 0, time, True)
                     if self.photoi.enabled:
@@ -896,6 +971,12 @@ class Simulation:
 
     def _copy_state(self, n_states: int):
         """copy_current_state (streamer.f90:571-583)."""
+        if not isinstance(self.cc, np.ndarray):
+            src = np.asarray(self.all_densities + [self.i_phi], np.int32)
+            tgt = np.asarray([iv + n_states for iv in self.all_densities]
+                             + [self.i_phi + 1], np.int32)
+            self.cc = self.cc.at[tgt].set(self.cc[src])
+            return
         for iv in self.all_densities:
             self.cc[iv + n_states] = self.cc[iv]
         self.cc[self.i_phi + 1] = self.cc[self.i_phi]
@@ -905,6 +986,14 @@ class Simulation:
 
     def _restore_state(self, n_states: int, params):
         """restore_previous_state (streamer.f90:586-599)."""
+        if not isinstance(self.cc, np.ndarray):
+            tgt = np.asarray(self.all_densities + [self.i_phi], np.int32)
+            src = np.asarray([iv + n_states for iv in self.all_densities]
+                             + [self.i_phi + 1], np.int32)
+            self.cc = self.cc.at[tgt].set(self.cc[src])
+            self.cc, self.fc = self.field.jit_from_potential(
+                self.cc, self.fc, params)
+            return
         for iv in self.all_densities:
             self.cc[iv] = self.cc[iv + n_states]
         self.cc[self.i_phi] = self.cc[self.i_phi + 1]

@@ -308,7 +308,12 @@ class FieldSolver:
         t = self.tree
         xp = _xp(cc)
         fac = -uc.elem_charge / uc.eps0
-        allids = np.concatenate([np.asarray(ids) for ids in t.lvl_ids])
+        ids_per_lvl = [sp.aix(self.mg._tb(l).ids)
+                       for l in range(1, self.mg._n_levels() + 1)]
+        allids = (np.concatenate(ids_per_lvl)
+                  if isinstance(ids_per_lvl[0], np.ndarray)
+                  else jnp.concatenate([jnp.asarray(i)
+                                        for i in ids_per_lvl]))
         acc = 0.0
         for s_cc, q in zip(self.charged_species_cc, self.charged_sign):
             # float(): a np.float64 scalar would promote a traced f32
@@ -332,7 +337,11 @@ class FieldSolver:
         """field_compute (``m_field.f90:405-485``)."""
         t = self.tree
         xp = _xp(cc)
-        cc = self.set_rhs(cc, s_in)
+        if not isinstance(cc, np.ndarray) and \
+                getattr(self.mg, "_jit_cfg", None) is not None:
+            cc = self.jit_set_rhs(cc, s_in)
+        else:
+            cc = self.set_rhs(cc, s_in)
         self.set_voltage(time)
         params = dict(params or {})
         params["voltage"] = self.current_voltage
@@ -344,10 +353,15 @@ class FieldSolver:
                 1.0 if getattr(self, "user_lsf_bc", None) is not None
                 else self.current_voltage)
 
-        leaves = np.concatenate([np.asarray(l) for l in t.lvl_leaves])
-        interior = sp.interior_flat(t.ndim, t.nc)
-        max_rhs = float(np.max(np.abs(np.asarray(
-            cc[self.i_rhs, leaves[:, None], interior[None, :]]))))
+        compiled = not isinstance(cc, np.ndarray) and \
+            getattr(self.mg, "_jit_cfg", None) is not None
+        if compiled:
+            max_rhs = float(self.mg.jit_max_abs_leaves(cc, self.i_rhs))
+        else:
+            leaves = np.concatenate([np.asarray(l) for l in t.lvl_leaves])
+            interior = sp.interior_flat(t.ndim, t.nc)
+            max_rhs = float(np.max(np.abs(np.asarray(
+                cc[self.i_rhs, leaves[:, None], interior[None, :]]))))
         conv_fac = 1e-8 if self.st.use_electrode else 1e-10
         min_dr = float(t.lvl_dr(t.highest_lvl).min())
         residual_threshold = max(
@@ -361,10 +375,14 @@ class FieldSolver:
             for it in range(100):
                 # the reference always passes have_guess=.true. here
                 # (field_compute, m_field.f90:448-450)
-                cc = self.mg.fas_fmg(cc, params, set_residual=True,
-                                     have_guess=True)
-                res = float(self.mg.max_abs_residual(
-                    cc, phi_b=params.get("lsf_phi_b", 0.0)))
+                if compiled:
+                    cc, res = self.mg.jit_fmg_res(cc, params)
+                    res = float(res)
+                else:
+                    cc = self.mg.fas_fmg(cc, params, set_residual=True,
+                                         have_guess=True)
+                    res = float(self.mg.max_abs_residual(
+                        cc, phi_b=params.get("lsf_phi_b", 0.0)))
                 residuals.append(res)
                 if res < residual_threshold:
                     break
@@ -380,14 +398,33 @@ class FieldSolver:
                     f"{residuals}")
 
         for _ in range(self.st.multigrid_num_vcycles):
-            cc = self.mg.fas_vcycle(cc, params, set_residual=True)
-            res = float(self.mg.max_abs_residual(
-                    cc, phi_b=params.get("lsf_phi_b", 0.0)))
+            if compiled:
+                cc, res = self.mg.jit_vcycle_res(cc, params)
+                res = float(res)
+            else:
+                cc = self.mg.fas_vcycle(cc, params, set_residual=True)
+                res = float(self.mg.max_abs_residual(
+                        cc, phi_b=params.get("lsf_phi_b", 0.0)))
             if res < residual_threshold:
                 break
 
-        cc, fc = self.from_potential(cc, fc, params)
+        if compiled:
+            cc, fc = self.jit_from_potential(cc, fc, params)
+        else:
+            cc, fc = self.from_potential(cc, fc, params)
         return cc, fc
+
+    def jit_from_potential(self, cc, fc, params):
+        """Compiled from_potential (gradient + norm + ghost fill)."""
+        def body(cc, scal, fc):
+            return self.from_potential(cc, fc, scal)
+        return self.mg._run_unit("from_potential", body, cc, params, fc)
+
+    def jit_set_rhs(self, cc, s_in: int):
+        """Compiled set_rhs (one unit per temporal state index)."""
+        def body(cc, scal):
+            return self.set_rhs(cc, s_in)
+        return self.mg._run_unit(f"set_rhs_{s_in}", body, cc, None)
 
     def from_potential(self, cc, fc, params):
         """E = -grad phi; cell norm; ghost fill of the norm
@@ -402,8 +439,8 @@ class FieldSolver:
         cc = self.mg.compute_field_norm(cc, fc, self.fc_E,
                                         self.i_electric_fld)
         # gc for the norm: neumann-zero bc + unlimited interpolation rb
-        for lvl in range(1, self.tree.highest_lvl + 1):
-            plan = gc.get_gc_plan(self.tree, lvl)
+        for lvl in range(1, self.mg._n_levels() + 1):
+            plan = self.mg._gc_plan(lvl)
             cc = gc.fill_ghosts_lvl(
                 cc, plan, [self.i_electric_fld], gc.RB_INTERP,
                 lambda iv, d, coords, p: (gc.BC_NEUMANN, 0.0), params)

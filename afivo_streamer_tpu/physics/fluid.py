@@ -69,7 +69,8 @@ class Gc2LevelPlan:
     for the leaves of one level. Reference coordinates -1..nc+2 map to
     extended indices 0..nc+3 (shift +1)."""
 
-    def __init__(self, tree: Tree, lvl: int):
+    def __init__(self, tree: Tree, lvl: int, pad: bool = False,
+                 trash: int = 0):
         ndim, nc = tree.ndim, tree.nc
         self.ndim, self.nc, self.lvl = ndim, nc, lvl
         hnc = nc // 2
@@ -225,6 +226,35 @@ class Gc2LevelPlan:
                 # map sign tuple position k -> actual dim
                 info["rb_sign_dims"] = [dim] + tdims
             self.dirs.append(info)
+
+        if pad:
+            # bucketed padding (core/treepack.py): padded leaf slots gather
+            # from / scatter to the trash box; padded case entries target a
+            # padded row of the extended array
+            from ..core import treepack as tp
+            n_real = len(self.leaves)
+            n_pad = tp.bucket(n_real)
+            self.leaves = tp.pad_ids(self.leaves, n_pad, trash)
+            pad_row = max(n_pad - 1, 0)
+            for info in self.dirs:
+                nb = tp.bucket(len(info["copy_pos"]))
+                info["copy_pos"] = tp.pad_pos(info["copy_pos"], nb, pad_row)
+                info["copy_nb"] = tp.pad_ids(info["copy_nb"], nb, trash)
+                nb = tp.bucket(len(info["bc_pos"]))
+                info["bc_pos"] = tp.pad_pos(info["bc_pos"], nb, pad_row)
+                info["bc_ids"] = tp.pad_ids(info["bc_ids"], nb, trash)
+                if "bc_coords" in info:
+                    info["bc_coords"] = tp.pad_rows(info["bc_coords"], nb)
+                nb = tp.bucket(len(info["rb_pos"]))
+                info["rb_pos"] = tp.pad_pos(info["rb_pos"], nb, pad_row)
+                if nb and "rb_coarse" in info:
+                    info["rb_coarse"] = tp.pad_ids(info["rb_coarse"], nb,
+                                                   trash)
+                    info["rb_c0"] = tp.pad_rows(info["rb_c0"], nb)
+                    info["rb_lo"] = [tp.pad_rows(a, nb)
+                                     for a in info["rb_lo"]]
+                    info["rb_hi"] = [tp.pad_rows(a, nb)
+                                     for a in info["rb_hi"]]
 
 
 def get_gc2_plan(tree: Tree, lvl: int) -> Gc2LevelPlan:
@@ -387,6 +417,45 @@ class FluidModel:
         self.mask_provider = None  # callable(lvl) -> bool mask [n_leaves, C]
         self.dielectric = None     # wired when use_dielectric
         self.last_diag = {}
+        # compiled-path state (core/treepack.py): ambient epoch pack while
+        # tracing, jitted units keyed by substep configuration
+        self._pack = None
+        self._jit_cfg = None
+        self._jit_units = {}
+
+    # ------------------------------------------------- compiled plumbing
+    def enable_jit(self, pad: bool = True, trash: int = 0):
+        if (self.dielectric is not None or self.mask_provider is not None
+                or self.idx.i_electron_energy >= 0):
+            raise ValueError("compiled fluid path does not support "
+                             "dielectrics/electrodes/energy model yet")
+        if self._jit_cfg != (pad, trash):
+            # the trash row index is baked into the traced closures
+            self._jit_units.clear()
+        self._jit_cfg = (pad, trash)
+
+    def _tb(self, lvl: int):
+        from ..core import treepack as tp
+        if self._pack is not None:
+            return self._pack.tables[lvl - 1]
+        return tp.get_level_tables(self.tree, lvl)
+
+    def _gc2_plan(self, lvl: int):
+        if self._pack is not None:
+            return self._pack.gc2[lvl - 1]
+        return get_gc2_plan(self.tree, lvl)
+
+    def _n_levels(self) -> int:
+        if self._pack is not None:
+            return self._pack.n_levels
+        return self.tree.highest_lvl
+
+    def _leaf_valid(self, lvl: int, n: int, extra_dims: int):
+        """Per-leaf validity mask shaped [n] + [1]*extra, or None."""
+        if self._pack is None or not self._pack.pad:
+            return None
+        v = self._tb(lvl).leaf_valid
+        return (v > 0).reshape((n,) + (1,) * extra_dims)
 
     # -------------------------------------------------------- flux kernel
     def compute_fluxes(self, cc, fc, s_deriv: int, params):
@@ -406,7 +475,8 @@ class FluidModel:
         sign = idx.flux_charge_sign
 
         # ghost-cell validity near refinement boundaries
-        cc = pr.restrict_tree(cc, t, np.asarray(sp_ivs), use_geometry=True)
+        cc = pr.restrict_tree(cc, t, np.asarray(sp_ivs), use_geometry=True,
+                              pack=self._pack)
 
         inv_max_cfl = 0.0   # max over cells of sum_d cfl terms
         max_sigma = _tiny(xp)
@@ -414,21 +484,22 @@ class FluidModel:
         mob_tbl = self.td.tbl
         N_inv = self.gas.inverse_number_density
 
-        for lvl in range(1, t.highest_lvl + 1):
-            plan = get_gc2_plan(t, lvl)
+        for lvl in range(1, self._n_levels() + 1):
+            plan = self._gc2_plan(lvl)
             if len(plan.leaves) == 0:
                 continue
             E, cc = gc2_extend(cc, plan, sp_ivs, self.bc_species, params,
                                self.prolong_limiter)
             n = len(plan.leaves)
             dr = plan.dr
+            valid = self._leaf_valid(lvl, n, ndim)
             Eb = E.reshape((n, n_sp) + (nc + 4,) * ndim)
             # cell-centered field norm with 1 ghost
-            Bfld = cc[idx.i_electric_fld, plan.leaves].reshape(
+            Bfld = cc[idx.i_electric_fld, sp.aix(plan.leaves)].reshape(
                 (n,) + (nc + 2,) * ndim)
             Bgas = None
             if not self.gas.constant_density:
-                Bgas = cc[idx.i_gas_dens, plan.leaves].reshape(
+                Bgas = cc[idx.i_gas_dens, sp.aix(plan.leaves)].reshape(
                     (n,) + (nc + 2,) * ndim)
             cfl_sum = xp.zeros((n,) + (nc,) * ndim, dtype=cc.dtype)
 
@@ -507,6 +578,8 @@ class FluidModel:
                     v_i = sign[m] * mu_i * E_fc
                     fluxes.append(v_i * u_f[:, m])
                     sigma = sigma + mu_i * u_f[:, m]
+                if valid is not None:
+                    sigma = xp.where(valid, sigma, 0.0)
                 max_sigma = xp.maximum(max_sigma, xp.max(sigma))
 
                 # CFL sum per cell (flux_upwind, m_fluid.f90:195-197)
@@ -543,6 +616,8 @@ class FluidModel:
                         flat = xp.where(diel_zero[:, None], 0.0, flat)
                     fc = ro.fc_set_faces(fc, f_iv, d, plan.leaves, flat,
                                          nc, ndim)
+            if valid is not None:
+                cfl_sum = xp.where(valid, cfl_sum, 0.0)
             inv_max_cfl = xp.maximum(inv_max_cfl, xp.max(cfl_sum))
 
         fc = self.consistent_fluxes(fc, idx.flux_fc)
@@ -554,119 +629,16 @@ class FluidModel:
     def _consistent_plan(self):
         """(coarse leaf, fine child) flux-matching groups per direction
         (af_consistent_fluxes, ``m_af_core.f90:1257-1404``)."""
+        if self._pack is not None:
+            return self._pack.consistent
         t = self.tree
         cache = getattr(t, "_consistent_flux_cache", None)
         if cache is not None and cache.get("epoch") == t.epoch:
             return cache["plan"]
-        nc, ndim = t.nc, t.ndim
-        hnc = nc // 2
-        groups = []  # (d, coarse_ids[], fine_ids[], tgt_fidx, src lists, cylw)
-        for lvl in range(1, t.highest_lvl):
-            for p_id in t.lvl_parents[lvl - 1]:
-                for d in range(2 * ndim):
-                    nb = int(t.neighbors[p_id, d])
-                    if nb < 0 or t.has_children(nb):
-                        continue
-                    dim, low = neighb_dim(d), neighb_low(d)
-                    # children of p_id adjacent to direction d
-                    for c in t.children[int(p_id)]:
-                        cdix = (t.ix[c] % 2)
-                        if cdix[dim] != (0 if low else 1):
-                            continue
-                        groups.append((lvl, d, int(nb), int(c)))
-        # build per-(lvl, d) batched index tables
-        by_key: Dict = {}
-        for lvl, d, nb, c in groups:
-            by_key.setdefault((lvl, d), []).append((nb, c))
-        plan = []
-        for (lvl, d), pairs in sorted(by_key.items()):
-            dim, low = neighb_dim(d), neighb_low(d)
-            # coarse target faces: on the coarse neighbor, the face adjacent
-            # to the fine box: ref i_nb = nc+1 (low side: fine is to its
-            # right... reference: i_nb = nc+1 if fine box is on the high
-            # side of the coarse box). Direction d is from the parent to the
-            # coarse neighbor; from the coarse box, the fine children are in
-            # direction d^1.
-            i_nb_ref = (nc + 1) if low else 1
-            tgt_face = i_nb_ref - 1  # my 0-based face index
-            nbs = np.array([p[0] for p in pairs], np.int32)
-            chs = np.array([p[1] for p in pairs], np.int32)
-            # fine source faces: ref i = 1 (low side of child) or nc+1
-            src_face = 0 if low else nc
-            # transverse offsets on the coarse box from the child parity
-            offs = []
-            for p in pairs:
-                off_all = (self.tree.ix[p[1]] % 2) * hnc
-                offs.append([off_all[k] for k in range(self.tree.ndim)
-                             if k != dim])
-            offs = np.asarray(offs, np.int64).reshape(len(pairs), -1)
-            # build gather/scatter index arrays
-            ndim_ = self.tree.ndim
-            if ndim_ == 1:
-                tgt = np.array([sp.fc_flat(1, nc, np.array([tgt_face]))[0]])
-                tgt_idx = np.tile(tgt, (len(pairs), 1))
-                src_idx = [np.tile(np.array(
-                    [sp.fc_flat(1, nc, np.array([src_face]))[0]]),
-                    (len(pairs), 1))]
-                weights = [np.ones((len(pairs), 1))]
-            else:
-                tdims = [k for k in range(ndim_) if k != dim]
-                tcells = np.arange(hnc)
-                # target coarse face cells: off + 0..hnc-1 per transverse dim
-                tgt_idx = np.zeros((len(pairs), hnc ** (ndim_ - 1)), np.int32)
-                nsrc = 2 ** (ndim_ - 1)
-                src_idx = [np.zeros((len(pairs), hnc ** (ndim_ - 1)), np.int32)
-                           for _ in range(nsrc)]
-                weights = [np.ones((len(pairs), hnc ** (ndim_ - 1)))
-                           for _ in range(nsrc)]
-                for pi, p in enumerate(pairs):
-                    axes = []
-                    for ti, k in enumerate(tdims):
-                        axes.append(offs[pi][ti] + tcells)
-                    mesh = np.meshgrid(*axes, indexing="ij")
-                    coarse_t = np.stack([m.ravel() for m in mesh], -1)
-                    v = np.zeros((coarse_t.shape[0], ndim_), np.int64)
-                    v[:, dim] = tgt_face
-                    for ti, k in enumerate(tdims):
-                        v[:, k] = coarse_t[:, ti]
-                    tgt_idx[pi] = np.ravel_multi_index(
-                        [v[:, k] for k in range(ndim_)],
-                        [nc + 1] * ndim_).astype(np.int32)
-                    # fine faces: 2 per transverse dim per coarse cell
-                    import itertools as it
-                    for si, bits in enumerate(it.product([0, 1],
-                                                         repeat=ndim_ - 1)):
-                        vf = np.zeros((coarse_t.shape[0], ndim_), np.int64)
-                        vf[:, dim] = src_face
-                        for ti, k in enumerate(tdims):
-                            fine_t = 2 * tcells  # local fine cells 0,2,..
-                            mesh_f = None
-                        # recompute fine transverse coords from local cells
-                        axes_f = []
-                        for ti, k in enumerate(tdims):
-                            axes_f.append(2 * tcells + bits[ti])
-                        mesh_f = np.meshgrid(*axes_f, indexing="ij")
-                        fine_tc = np.stack([m.ravel() for m in mesh_f], -1)
-                        for ti, k in enumerate(tdims):
-                            vf[:, k] = fine_tc[:, ti]
-                        src_idx[si][pi] = np.ravel_multi_index(
-                            [vf[:, k] for k in range(ndim_)],
-                            [nc + 1] * ndim_).astype(np.int32)
-                        # cylindrical weights for z-fluxes (dim=1 in cyl 2D)
-                        if (self.tree.coord == "cyl" and dim == 1):
-                            # weight depends on the radial fine position
-                            nb_id = p[0]
-                            r0 = self.tree.box_r_min(np.asarray([nb_id]))[0][0]
-                            drc = self.tree.lvl_dr(lvl)[0]
-                            i_c = offs[pi][0] + tcells + 1  # 1-based
-                            r_c = r0 + (i_c - 0.5) * drc
-                            tmp = 0.25 * drc / r_c
-                            w = (1.0 - tmp) if bits[0] == 0 else (1.0 + tmp)
-                            weights[si][pi] = w
-            plan.append(dict(d=d, nbs=nbs, chs=chs, tgt=tgt_idx,
-                             src=src_idx, w=weights, dim=dim))
+        plan = build_consistent_plan(t)
         t._consistent_flux_cache = {"epoch": t.epoch, "plan": plan}
         return plan
+
 
     def consistent_fluxes(self, fc, flux_fc: List[int]):
         """Replace coarse fluxes at refinement boundaries by the average of
@@ -675,20 +647,21 @@ class FluidModel:
         xp = _xp(fc)
         fvars = np.asarray(flux_fc, np.int32)
         for g in plan:
-            nsrc = len(g["src"])
+            nsrc = len(g.src)
             acc = 0.0
             for si in range(nsrc):
-                vals = fc[fvars[:, None, None], g["dim"],
-                          g["chs"][None, :, None], g["src"][si][None, :, :]]
-                acc = acc + _cst(g["w"][si], vals)[None] * vals
+                vals = fc[fvars[:, None, None], g.dim,
+                          sp.aix(g.chs)[None, :, None],
+                          sp.aix(g.src[si])[None, :, :]]
+                acc = acc + _cst(g.w[si], vals)[None] * vals
             acc = acc / nsrc
             if isinstance(fc, np.ndarray):
-                fc[fvars[:, None, None], g["dim"], g["nbs"][None, :, None],
-                   g["tgt"][None, :, :]] = acc
+                fc[fvars[:, None, None], g.dim, g.nbs[None, :, None],
+                   g.tgt[None, :, :]] = acc
             else:
-                fc = fc.at[jnp.asarray(fvars)[:, None, None], g["dim"],
-                           jnp.asarray(g["nbs"])[None, :, None],
-                           jnp.asarray(g["tgt"])[None, :, :]].set(acc)
+                fc = fc.at[jnp.asarray(fvars)[:, None, None], g.dim,
+                           jnp.asarray(sp.aix(g.nbs))[None, :, None],
+                           jnp.asarray(sp.aix(g.tgt))[None, :, :]].set(acc)
         return fc
 
     # ------------------------------------------------------------ update
@@ -723,12 +696,14 @@ class FluidModel:
         eps = _tiny(xp)
         has_ee = idx.i_electron_energy >= 0
 
-        for lvl in range(1, t.highest_lvl + 1):
-            leaves = np.asarray(t.lvl_leaves[lvl - 1])
-            if len(leaves) == 0:
+        for lvl in range(1, self._n_levels() + 1):
+            tb = self._tb(lvl)
+            leaves = tb.leaves
+            if tb.n_leaves == 0:
                 continue
             n = len(leaves)
             dr = t.lvl_dr(lvl)
+            valid = self._leaf_valid(lvl, n, 1)  # [n, 1] or None
 
             # cell mask (set_box_mask, m_fluid.f90:469-515): no update
             # inside electrodes / dielectrics / outside the plasma region
@@ -754,11 +729,7 @@ class FluidModel:
             # energy-model source terms see the post-flux s_out states
             rfac = None
             if t.coord == "cyl":
-                r0 = t.box_r_min(leaves)[:, 0]
-                i = np.arange(1, nc + 1)
-                r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
-                rfac = ((r_cc - 0.5 * dr[0]) / r_cc,
-                        (r_cc + 0.5 * dr[0]) / r_cc)  # [n, nc]
+                rfac = (tb.rfac_lo, tb.rfac_hi)  # [n, nc]
             for m, iv in enumerate(idx.flux_species):
                 f_iv = idx.flux_fc[m]
                 div = 0.0
@@ -826,25 +797,38 @@ class FluidModel:
             derivs = derivs.reshape(n, C, -1)
             full = full.reshape(n, C, -1)
 
-            # chemistry time step restriction (add_source_terms :404-414)
+            # chemistry time step restriction (add_source_terms :404-414);
+            # padded leaf slots are masked to no-restriction
+            nsp_tot = ngas + len(idx.species_cc)
             if self.dt_cfg.chemistry_nmin > 0:
-                dflat = dens.reshape(-1, ngas + len(idx.species_cc))
-                tmp = xp.min((dflat + self.dt_cfg.chemistry_nmin)
-                             / xp.maximum(xp.abs(derivs.reshape(
-                                 dflat.shape)), eps))
-                dt_chem = xp.minimum(dt_chem, tmp)
+                dflat = dens.reshape(-1, nsp_tot)
+                tmp = ((dflat + self.dt_cfg.chemistry_nmin)
+                       / xp.maximum(xp.abs(derivs.reshape(dflat.shape)),
+                                    eps))
+                if valid is not None:
+                    tmp = xp.where(
+                        valid.reshape(n, 1, 1) > 0,
+                        tmp.reshape(n, -1, nsp_tot), _huge(xp))
+                dt_chem = xp.minimum(dt_chem, xp.min(tmp))
             elif self.dt_cfg.chemistry_limit_loss:
-                dflat = dens.reshape(-1, ngas + len(idx.species_cc))
-                tmp = xp.min(xp.maximum(dflat, eps)
-                             / xp.maximum(-derivs.reshape(dflat.shape), eps))
-                dt_chem = xp.minimum(dt_chem, tmp)
+                dflat = dens.reshape(-1, nsp_tot)
+                tmp = (xp.maximum(dflat, eps)
+                       / xp.maximum(-derivs.reshape(dflat.shape), eps))
+                if valid is not None:
+                    tmp = xp.where(
+                        valid.reshape(n, 1, 1) > 0,
+                        tmp.reshape(n, -1, nsp_tot), _huge(xp))
+                dt_chem = xp.minimum(dt_chem, xp.min(tmp))
 
             if last_step:
-                vol = self._cell_volumes(lvl, n)
-                total_rates = total_rates + xp.sum(
-                    full * _cst(vol, full)[:, :, None], axis=(0, 1))
+                vol = tb.vol
+                fullv = full * _cst(vol, full)[:, :, None]
+                if valid is not None:
+                    fullv = xp.where(valid[:, :, None] > 0, fullv, 0.0)
+                total_rates = total_rates + xp.sum(fullv, axis=(0, 1))
                 # J.E with cell volumes (sum_global_JdotE, m_fluid.f90:702-731)
-                total_JdotE = total_JdotE + self._sum_JdotE(fc, lvl, vol)
+                total_JdotE = total_JdotE + self._sum_JdotE(
+                    fc, lvl, vol, leaves, valid)
 
             # photoionization source
             if idx.i_photo >= 0:
@@ -972,13 +956,15 @@ class FluidModel:
                  for r in self.chem.reactions], dtype=bool)
         return self._ioniz_mask
 
-    def _sum_JdotE(self, fc, lvl: int, vol):
-        """Volume-integrated J.E * elec_charge for the level's leaves."""
+    def _sum_JdotE(self, fc, lvl: int, vol, leaves=None, valid=None):
+        """Volume-integrated J.E * elec_charge for the level's leaves
+        (padded leaf slots masked out)."""
         t = self.tree
         idx = self.idx
         nc, ndim = t.nc, t.ndim
         xp = _xp(fc)
-        leaves = np.asarray(t.lvl_leaves[lvl - 1])
+        if leaves is None:
+            leaves = np.asarray(t.lvl_leaves[lvl - 1])
         n = len(leaves)
         acc = 0.0
         for d in range(ndim):
@@ -990,7 +976,10 @@ class FluidModel:
                        for k in range(ndim))
             prod = 0.5 * ((Fe * Ef)[(slice(None),) + lo]
                           + (Fe * Ef)[(slice(None),) + hi])
-            acc = acc + xp.sum(prod.reshape(n, -1) * _cst(vol, prod))
+            prod = prod.reshape(n, -1) * _cst(vol, prod)
+            if valid is not None:
+                prod = xp.where(valid > 0, prod, 0.0)
+            acc = acc + xp.sum(prod)
         return acc * uc.elec_charge
 
     # ----------------------------------------------------- forward Euler
@@ -1011,6 +1000,11 @@ class FluidModel:
             cc, fc = field_compute(cc, fc, s_deriv, time, True, params)
             if self.wc is not None:
                 self.wc["field"] += _time.time() - t0
+        if not isinstance(cc, np.ndarray) and self._jit_cfg is not None:
+            # compiled path: the whole flux + conservative-update +
+            # chemistry substep is one jitted unit over the epoch pack
+            return self._jit_flux_update(cc, fc, dt, s_deriv, s_prev,
+                                         w_prev, s_out, last_step, params)
         t0 = _time.time()
         cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv, params)
         t1 = _time.time()
@@ -1029,6 +1023,9 @@ class FluidModel:
                 self.dielectric.flux_species_charge,
                 self.dielectric.flux_pos_ion)
             cc = self.dielectric.photon_emission(cc, fc, dt, s_out)
+        return self._finish_substep(cc, fc, dt_cfl, dt_drt, dt_chem, diag)
+
+    def _finish_substep(self, cc, fc, dt_cfl, dt_drt, dt_chem, diag):
         xp = _xp(cc)
         # NOTE: the reference *assigns* dt_lim in each substep
         # (m_fluid.f90:96-98), so af_advance returns the limit of the LAST
@@ -1045,3 +1042,164 @@ class FluidModel:
             dt_drt + 0.0 * dt_lim, dt_chem + 0.0 * dt_lim,
             dt_other + 0.0 * dt_lim])
         return cc, fc, dt_lim, diag
+
+    def _jit_flux_update(self, cc, fc, dt, s_deriv, s_prev, w_prev, s_out,
+                         last_step, params):
+        """Jitted flux + update unit keyed by the substep configuration;
+        the epoch pack is a runtime argument (no retrace across epochs
+        with equal bucket shapes)."""
+        import jax
+        from ..core import treepack as tp
+        pad, trash = self._jit_cfg
+        pack = tp.get_epoch_pack(self.tree, pad=pad, trash=trash,
+                                 with_gc2=True, dtype=cc.dtype)
+        key = ("fu", s_deriv, tuple(s_prev), tuple(float(w) for w in w_prev),
+               s_out, last_step)
+        if key not in self._jit_units:
+            def traced(cc, fc, dt_, scal, pack):
+                old = self._pack
+                self._pack = pack
+                try:
+                    if pad:
+                        cc = cc.at[:, trash].set(0.0)
+                        fc = fc.at[:, :, trash].set(0.0)
+                    cc, fc, dt_cfl, dt_drt = self.compute_fluxes(
+                        cc, fc, s_deriv, scal)
+                    cc, dt_chem, diag = self.update_densities(
+                        cc, fc, dt_, s_deriv, list(s_prev), list(w_prev),
+                        s_out, last_step, scal)
+                    return self._finish_substep(cc, fc, dt_cfl, dt_drt,
+                                                dt_chem, diag)
+                finally:
+                    self._pack = old
+            self._jit_units[key] = jax.jit(traced)
+        scal = {k: v for k, v in (params or {}).items() if np.ndim(v) == 0}
+        return self._jit_units[key](cc, fc, dt, scal, pack)
+
+
+def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0):
+    """Build the flux-matching groups (free function so the epoch pack
+    can carry them as pytree leaves; see core/treepack.py)."""
+    from ..core.treepack import ConsistentGroup, bucket, pad_ids, pad_rows
+    if True:
+        t = tree
+        nc, ndim = t.nc, t.ndim
+        hnc = nc // 2
+        groups = []  # (d, coarse_ids[], fine_ids[], tgt_fidx, src lists, cylw)
+        for lvl in range(1, t.highest_lvl):
+            for p_id in t.lvl_parents[lvl - 1]:
+                for d in range(2 * ndim):
+                    nb = int(t.neighbors[p_id, d])
+                    if nb < 0 or t.has_children(nb):
+                        continue
+                    dim, low = neighb_dim(d), neighb_low(d)
+                    # children of p_id adjacent to direction d
+                    for c in t.children[int(p_id)]:
+                        cdix = (t.ix[c] % 2)
+                        if cdix[dim] != (0 if low else 1):
+                            continue
+                        groups.append((lvl, d, int(nb), int(c)))
+        # build per-(lvl, d) batched index tables
+        by_key: Dict = {}
+        for lvl, d, nb, c in groups:
+            by_key.setdefault((lvl, d), []).append((nb, c))
+        plan = []
+        for (lvl, d), pairs in sorted(by_key.items()):
+            dim, low = neighb_dim(d), neighb_low(d)
+            # coarse target faces: on the coarse neighbor, the face adjacent
+            # to the fine box: ref i_nb = nc+1 (low side: fine is to its
+            # right... reference: i_nb = nc+1 if fine box is on the high
+            # side of the coarse box). Direction d is from the parent to the
+            # coarse neighbor; from the coarse box, the fine children are in
+            # direction d^1.
+            i_nb_ref = (nc + 1) if low else 1
+            tgt_face = i_nb_ref - 1  # my 0-based face index
+            nbs = np.array([p[0] for p in pairs], np.int32)
+            chs = np.array([p[1] for p in pairs], np.int32)
+            # fine source faces: ref i = 1 (low side of child) or nc+1
+            src_face = 0 if low else nc
+            # transverse offsets on the coarse box from the child parity
+            offs = []
+            for p in pairs:
+                off_all = (t.ix[p[1]] % 2) * hnc
+                offs.append([off_all[k] for k in range(t.ndim)
+                             if k != dim])
+            offs = np.asarray(offs, np.int64).reshape(len(pairs), -1)
+            # build gather/scatter index arrays
+            ndim_ = t.ndim
+            if ndim_ == 1:
+                tgt = np.array([sp.fc_flat(1, nc, np.array([tgt_face]))[0]])
+                tgt_idx = np.tile(tgt, (len(pairs), 1))
+                src_idx = [np.tile(np.array(
+                    [sp.fc_flat(1, nc, np.array([src_face]))[0]]),
+                    (len(pairs), 1))]
+                weights = [np.ones((len(pairs), 1))]
+            else:
+                tdims = [k for k in range(ndim_) if k != dim]
+                tcells = np.arange(hnc)
+                # target coarse face cells: off + 0..hnc-1 per transverse dim
+                tgt_idx = np.zeros((len(pairs), hnc ** (ndim_ - 1)), np.int32)
+                nsrc = 2 ** (ndim_ - 1)
+                src_idx = [np.zeros((len(pairs), hnc ** (ndim_ - 1)), np.int32)
+                           for _ in range(nsrc)]
+                weights = [np.ones((len(pairs), hnc ** (ndim_ - 1)))
+                           for _ in range(nsrc)]
+                for pi, p in enumerate(pairs):
+                    axes = []
+                    for ti, k in enumerate(tdims):
+                        axes.append(offs[pi][ti] + tcells)
+                    mesh = np.meshgrid(*axes, indexing="ij")
+                    coarse_t = np.stack([m.ravel() for m in mesh], -1)
+                    v = np.zeros((coarse_t.shape[0], ndim_), np.int64)
+                    v[:, dim] = tgt_face
+                    for ti, k in enumerate(tdims):
+                        v[:, k] = coarse_t[:, ti]
+                    tgt_idx[pi] = np.ravel_multi_index(
+                        [v[:, k] for k in range(ndim_)],
+                        [nc + 1] * ndim_).astype(np.int32)
+                    # fine faces: 2 per transverse dim per coarse cell
+                    import itertools as it
+                    for si, bits in enumerate(it.product([0, 1],
+                                                         repeat=ndim_ - 1)):
+                        vf = np.zeros((coarse_t.shape[0], ndim_), np.int64)
+                        vf[:, dim] = src_face
+                        for ti, k in enumerate(tdims):
+                            fine_t = 2 * tcells  # local fine cells 0,2,..
+                            mesh_f = None
+                        # recompute fine transverse coords from local cells
+                        axes_f = []
+                        for ti, k in enumerate(tdims):
+                            axes_f.append(2 * tcells + bits[ti])
+                        mesh_f = np.meshgrid(*axes_f, indexing="ij")
+                        fine_tc = np.stack([m.ravel() for m in mesh_f], -1)
+                        for ti, k in enumerate(tdims):
+                            vf[:, k] = fine_tc[:, ti]
+                        src_idx[si][pi] = np.ravel_multi_index(
+                            [vf[:, k] for k in range(ndim_)],
+                            [nc + 1] * ndim_).astype(np.int32)
+                        # cylindrical weights for z-fluxes (dim=1 in cyl 2D)
+                        if (t.coord == "cyl" and dim == 1):
+                            # weight depends on the radial fine position
+                            nb_id = p[0]
+                            r0 = t.box_r_min(np.asarray([nb_id]))[0][0]
+                            drc = t.lvl_dr(lvl)[0]
+                            i_c = offs[pi][0] + tcells + 1  # 1-based
+                            r_c = r0 + (i_c - 0.5) * drc
+                            tmp = 0.25 * drc / r_c
+                            w = (1.0 - tmp) if bits[0] == 0 else (1.0 + tmp)
+                            weights[si][pi] = w
+            if pad:
+                nb_p = bucket(len(nbs))
+                nbs = pad_ids(nbs, nb_p, trash)
+                chs = pad_ids(chs, nb_p, trash)
+                tgt_idx = pad_rows(tgt_idx, nb_p)
+                src_idx = [pad_rows(a, nb_p) for a in src_idx]
+                weights = [pad_rows(a, nb_p) for a in weights]
+            plan.append(ConsistentGroup(d, dim, nbs, chs, tgt_idx,
+                                        src_idx, weights))
+        return plan
+
+
+# register the Gc2 plan as a pytree (compiled path; core/treepack.py)
+from ..core import treepack as _tp  # noqa: E402
+_tp.register_gc2()

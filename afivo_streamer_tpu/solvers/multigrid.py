@@ -31,6 +31,7 @@ from ..core import spatial as sp
 from ..core import ghostcell as gc
 from ..core import prolong_restrict as pr
 from ..core import rowops as ro
+from ..core import treepack as tp
 from ..core.tree import Tree
 from .coarse import CoarseSolver, make_coarse_solver
 
@@ -89,7 +90,7 @@ class LevelOp:
     coordinates scale the radial couplings by the flux factors."""
 
     def __init__(self, tree: Tree, lvl: int, lam: float, lsf_data=None,
-                 eps_data=None):
+                 eps_data=None, pad: bool = False, trash: int = 0):
         ndim, nc = tree.ndim, tree.nc
         dr = tree.lvl_dr(lvl)
         inv_dr2 = 1.0 / dr**2
@@ -167,32 +168,52 @@ class LevelOp:
                 c_nb = new_nb
                 self.f = np.where(sel, fl.reshape(bshape), 0.0)
                 self.bc_coeff = data["bc_coeff"].reshape(bshape)
+        self.ids = np.asarray(ids, np.int32)
+        if pad:
+            # pad per-box coefficient rows so they align with the padded
+            # level-id tables (core/treepack.py); padded rows repeat the
+            # last real row (finite, only ever applied to the trash box)
+            nb = tp.bucket(len(self.ids))
+            self.ids = tp.pad_ids(self.ids, nb, trash)
+            c_nb = [tp.pad_rows(c, nb) if isinstance(c, np.ndarray)
+                    and c.ndim > 0 else c for c in c_nb]
+            if isinstance(c0, np.ndarray) and c0.ndim > 0:
+                c0 = tp.pad_rows(c0, nb)
+            if self.f is not None:
+                self.f = tp.pad_rows(self.f, nb)
+                self.bc_coeff = tp.pad_rows(self.bc_coeff, nb)
+            if self.veps is not None:
+                self.veps = np.concatenate(
+                    [self.veps, np.zeros(nb - len(self.veps), bool)])
         self.c_nb = c_nb
         self.c0 = c0
-        self.ids = np.asarray(ids)
         self.per_box = ((tree.coord == "cyl") or (self.f is not None)
                         or (self.veps is not None))
 
-    def _select(self, ids):
+    def _select(self, pos):
         """Restrict per-box coefficient arrays to a subset of the level's
-        boxes (needed when applying the operator to parents only)."""
+        boxes, given their *positions* within the level's id list (needed
+        when applying the operator to parents/leaves only; positions are
+        precomputed per epoch in core.treepack.LevelTables so the traced
+        path never needs a host-side search)."""
         if not self.per_box:
             return self.c0, self.c_nb, None
-        pos = np.searchsorted(self.ids, np.asarray(ids))
+        pos = sp.aix(pos)
         def sub(x):
-            return x[pos] if isinstance(x, np.ndarray) and x.ndim > 0 else x
+            return x[pos] if (isinstance(x, np.ndarray) or not
+                              np.isscalar(x)) and np.ndim(x) > 0 else x
         f = None
         if self.f is not None:
             f = self.f[pos] * self.bc_coeff[pos]
         return sub(self.c0), [sub(c) for c in self.c_nb], f
 
-    def bc_corr(self, phi_b, ids=None):
+    def bc_corr(self, phi_b, pos=None):
         """Boundary-correction term f * bc_coeff * phi_b, or 0.0."""
         if self.f is None:
             return 0.0
-        if ids is None:
+        if pos is None:
             return self.f * self.bc_coeff * phi_b
-        pos = np.searchsorted(self.ids, np.asarray(ids))
+        pos = sp.aix(pos)
         return self.f[pos] * self.bc_coeff[pos] * phi_b
 
     @staticmethod
@@ -203,14 +224,14 @@ class LevelOp:
             return np.asarray(a).astype(like.dtype)
         return a
 
-    def apply(self, B, nc: int, ndim: int, ids=None, phi_b=0.0):
+    def apply(self, B, nc: int, ndim: int, pos=None, phi_b=0.0):
         """L(phi) - bc_correction on the interior: [n] + [nc]^ndim
         (stencil_apply_357 subtracts the boundary correction)."""
-        if ids is None:
+        if pos is None:
             c0, c_nb = self.c0, self.c_nb
             corr = self.bc_corr(phi_b)
         else:
-            c0, c_nb, f = self._select(ids)
+            c0, c_nb, f = self._select(pos)
             corr = self._cst(f, B) * phi_b if f is not None else 0.0
         out = self._cst(c0, B) * B[
             (slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
@@ -263,9 +284,16 @@ class Multigrid:
         self._ops: Dict = {}
         self._coarse: Optional[CoarseSolver] = None
         self._coarse_epoch = -1
+        # ambient epoch pack: set while tracing a compiled unit so every
+        # topology read below comes from the traced jit arguments
+        self._pack = None
+        self._pack_ops = None
+        self._jit_units: Dict = {}
 
     # ----------------------------------------------------------- plumbing
     def _op(self, lvl: int) -> LevelOp:
+        if self._pack_ops is not None:
+            return self._pack_ops[lvl - 1]
         key = (self.tree.epoch, lvl)
         if key not in self._ops:
             self._ops = {k: v for k, v in self._ops.items()
@@ -273,6 +301,26 @@ class Multigrid:
             self._ops[key] = LevelOp(self.tree, lvl, self.lam,
                                      self.lsf_data, self.eps_data)
         return self._ops[key]
+
+    def _gc_plan(self, lvl: int):
+        if self._pack is not None:
+            return self._pack.gc[lvl - 1]
+        return gc.get_gc_plan(self.tree, lvl)
+
+    def _pr_plan(self, lvl: int):
+        if self._pack is not None:
+            return self._pack.pr[lvl - 1]
+        return pr.get_full_plan(self.tree, lvl)
+
+    def _tb(self, lvl: int) -> tp.LevelTables:
+        if self._pack is not None:
+            return self._pack.tables[lvl - 1]
+        return tp.get_level_tables(self.tree, lvl)
+
+    def _n_levels(self) -> int:
+        if self._pack is not None:
+            return self._pack.n_levels
+        return self.tree.highest_lvl
 
     def coarse_solver(self) -> CoarseSolver:
         # level 1 never changes, so build once
@@ -288,6 +336,8 @@ class Multigrid:
 
     def _veps_mask(self, lvl: int, plan):
         veps = None
+        if self._pack is not None:
+            return None  # pack mode requires eps_data None (asserted)
         if self.eps_data is not None:
             op = self._op(lvl)
             if op.veps is not None:
@@ -302,14 +352,14 @@ class Multigrid:
         return veps
 
     def _gc_lvl(self, cc, lvl: int, params, corners: bool = True):
-        plan = gc.get_gc_plan(self.tree, lvl)
+        plan = self._gc_plan(lvl)
         veps = self._veps_mask(lvl, plan)
         return gc.fill_ghosts_lvl(cc, plan, [self.i_phi], gc.RB_MG,
                                   self.sides_bc, params, corners=corners,
                                   rb_extrap_mask=veps)
 
     def fill_ghosts_phi(self, cc, params):
-        for lvl in range(1, self.tree.highest_lvl + 1):
+        for lvl in range(1, self._n_levels() + 1):
             cc = self._gc_lvl(cc, lvl, params)
         return cc
 
@@ -318,7 +368,7 @@ class Multigrid:
                     up_cycle: bool):
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        ids = t.lvl_ids[lvl - 1]
+        ids = self._tb(lvl).ids
         op = self._op(lvl)
         R = blocks(cc, self.i_rhs, ids, nc, ndim)
         R_int = R[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
@@ -343,7 +393,7 @@ class Multigrid:
         # fused kernels (red-black update + ghost exchange) instead of
         # ~50 small XLA ops (ops/pallas_smoother.py)
         interp = os.environ.get("AFIVO_PALLAS", "") == "interpret"
-        if ndim in (2, 3) and (interp or (
+        if self._pack is None and ndim in (2, 3) and (interp or (
                 cc.dtype == jnp.float32
                 and jax.default_backend() == "tpu"
                 and os.environ.get("AFIVO_PALLAS", "1") != "0")):
@@ -370,7 +420,7 @@ class Multigrid:
             A, R_blk = sm.build_consts(cc, self.i_phi, self.i_rhs, params,
                                        phi_b)
             C = nc + 2
-            idsj = jnp.asarray(np.asarray(ids))
+            idsj = jnp.asarray(sp.aix(ids))
             # the smoothing runs on level-local blocks (same-level
             # neighbors are on this level): one gather at visit start,
             # one scatter at the end
@@ -405,22 +455,22 @@ class Multigrid:
         cc = half_sweep(cc, n_half, None, up_cycle)
         return cc
 
-    def _residual_blocks(self, cc, lvl: int, ids, phi_b=0.0):
+    def _residual_blocks(self, cc, lvl: int, ids, phi_b=0.0, pos=None):
         t = self.tree
         nc, ndim = t.nc, t.ndim
         op = self._op(lvl)
         B = blocks(cc, self.i_phi, ids, nc, ndim)
         R = blocks(cc, self.i_rhs, ids, nc, ndim)
         R_int = R[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
-        return R_int - op.apply(B, nc, ndim, ids=ids, phi_b=phi_b)
+        return R_int - op.apply(B, nc, ndim, pos=pos, phi_b=phi_b)
 
     def set_residual_tmp(self, cc, max_lvl: Optional[int] = None,
                          phi_b=0.0):
         """Store rhs - L(phi) in i_tmp on all levels (residual_box)."""
         t = self.tree
-        max_lvl = max_lvl or t.highest_lvl
+        max_lvl = max_lvl or self._n_levels()
         for lvl in range(1, max_lvl + 1):
-            ids = t.lvl_ids[lvl - 1]
+            ids = self._tb(lvl).ids
             res = self._residual_blocks(cc, lvl, ids, phi_b)
             cc = scatter_interior(cc, self.i_tmp, ids, res, t.nc, t.ndim)
         return cc
@@ -429,58 +479,66 @@ class Multigrid:
                          phi_b=0.0):
         """max |rhs - L(phi)| over the *leaves* (the reference's
         af_tree_maxabs_cc reduction loops leaves only,
-        ``m_af_utils.f90:773-784``)."""
+        ``m_af_utils.f90:773-784``); padded leaf slots are masked out."""
         t = self.tree
-        max_lvl = max_lvl or t.highest_lvl
+        max_lvl = max_lvl or self._n_levels()
         xp = np if isinstance(cc, np.ndarray) else jnp
         m = 0.0
         for lvl in range(1, max_lvl + 1):
-            leaves = t.lvl_leaves[lvl - 1]
-            if len(leaves) == 0:
+            tb = self._tb(lvl)
+            if tb.n_leaves == 0:
                 continue
-            res = self._residual_blocks(cc, lvl, leaves, phi_b)
-            m = xp.maximum(m, xp.max(xp.abs(res)))
+            res = self._residual_blocks(cc, lvl, tb.leaves, phi_b,
+                                        pos=tb.leaves_pos)
+            res = xp.abs(res)
+            if self._pack is not None and self._pack.pad:
+                valid = tb.leaf_valid.reshape(
+                    (len(tb.leaves),) + (1,) * t.ndim)
+                res = xp.where(valid > 0, res, 0.0)
+            m = xp.maximum(m, xp.max(res))
         return m
 
     def _update_coarse(self, cc, lvl: int, params):
         """FAS coarse-grid setup (update_coarse, ``:691-738``)."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        ids = t.lvl_ids[lvl - 1]
+        ids = self._tb(lvl).ids
         phi_b = params.get("lsf_phi_b", 0.0)
         # residual of all boxes at lvl -> restrict into parents' i_tmp
         res = self._residual_blocks(cc, lvl, ids, phi_b)
         # write residual into a scratch: use i_tmp of the *fine* boxes
         # transiently (restored implicitly since we recompute later)
-        plan = pr.get_full_plan(t, lvl)
+        plan = self._pr_plan(lvl)
         # stage: put residual into tmp on fine level, restrict tmp & phi
-        saved_tmp = cc[self.i_tmp, np.asarray(ids)].copy() \
-            if isinstance(cc, np.ndarray) else cc[self.i_tmp, np.asarray(ids)]
+        saved_tmp = cc[self.i_tmp, sp.aix(ids)].copy() \
+            if isinstance(cc, np.ndarray) else cc[self.i_tmp, sp.aix(ids)]
         cc = scatter_interior(cc, self.i_tmp, ids, res, nc, ndim)
         cc = pr.restrict(cc, plan, [self.i_tmp], use_geometry=True)
         cc = pr.restrict(cc, plan, [self.i_phi], use_geometry=False)
         # restore fine tmp (it holds phi_old for the correction step)
         if isinstance(cc, np.ndarray):
-            cc[self.i_tmp, np.asarray(ids)] = saved_tmp
+            cc[self.i_tmp, sp.aix(ids)] = saved_tmp
         else:
-            cc = cc.at[self.i_tmp, jnp.asarray(np.asarray(ids))].set(saved_tmp)
+            cc = cc.at[self.i_tmp, jnp.asarray(sp.aix(ids))].set(saved_tmp)
         # ghost cells for the restricted phi
         cc = self._gc_lvl(cc, lvl - 1, params)
         # parents at lvl-1: rhs = L(phi) + restricted residual; tmp = phi
-        parents = t.lvl_parents[lvl - 2]
+        tb_c = self._tb(lvl - 1)
+        parents = tb_c.parents
         if len(parents):
             op = self._op(lvl - 1)
             B = blocks(cc, self.i_phi, parents, nc, ndim)
             T = blocks(cc, self.i_tmp, parents, nc, ndim)
             T_int = T[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
-            rhs_new = op.apply(B, nc, ndim, ids=parents, phi_b=phi_b) + T_int
+            rhs_new = op.apply(B, nc, ndim, pos=tb_c.parents_pos,
+                               phi_b=phi_b) + T_int
             cc = scatter_interior(cc, self.i_rhs, parents, rhs_new, nc, ndim)
             # store phi (incl. ghosts) in tmp
             if isinstance(cc, np.ndarray):
-                cc[self.i_tmp, np.asarray(parents)] = cc[self.i_phi,
-                                                         np.asarray(parents)]
+                cc[self.i_tmp, sp.aix(parents)] = cc[self.i_phi,
+                                                     sp.aix(parents)]
             else:
-                pidx = jnp.asarray(np.asarray(parents))
+                pidx = jnp.asarray(sp.aix(parents))
                 cc = cc.at[self.i_tmp, pidx].set(cc[self.i_phi, pidx])
         return cc
 
@@ -489,23 +547,25 @@ class Multigrid:
         (set_coarse_phi_rhs, ``:741-777``)."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        ids = t.lvl_ids[lvl - 1]
-        if lvl == t.highest_lvl:
+        ids = self._tb(lvl).ids
+        if lvl == self._n_levels():
             cc = self._gc_lvl(cc, lvl, params)
         phi_b = params.get("lsf_phi_b", 0.0)
         res = self._residual_blocks(cc, lvl, ids, phi_b)
-        plan = pr.get_full_plan(t, lvl)
+        plan = self._pr_plan(lvl)
         cc = scatter_interior(cc, self.i_tmp, ids, res, nc, ndim)
         cc = pr.restrict(cc, plan, [self.i_tmp], use_geometry=True)
         cc = pr.restrict(cc, plan, [self.i_phi], use_geometry=False)
         cc = self._gc_lvl(cc, lvl - 1, params)
-        parents = t.lvl_parents[lvl - 2]
+        tb_c = self._tb(lvl - 1)
+        parents = tb_c.parents
         if len(parents):
             op = self._op(lvl - 1)
             B = blocks(cc, self.i_phi, parents, nc, ndim)
             T = blocks(cc, self.i_tmp, parents, nc, ndim)
             T_int = T[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
-            rhs_new = op.apply(B, nc, ndim, ids=parents, phi_b=phi_b) + T_int
+            rhs_new = op.apply(B, nc, ndim, pos=tb_c.parents_pos,
+                               phi_b=phi_b) + T_int
             cc = scatter_interior(cc, self.i_rhs, parents, rhs_new, nc, ndim)
         return cc
 
@@ -513,12 +573,11 @@ class Multigrid:
         """phi += prolong(phi_c - phi_old_c) (correct_children, ``:624-646``);
         linear 2/4/8-point prolongation stencil
         (mg_box_prolong_linear_stencil, ``:1248-1266``)."""
-        t = self.tree
-        parents = t.lvl_parents[lvl - 2]
+        parents = self._tb(lvl - 1).parents
         if len(parents) == 0:
             return cc
         # corr = phi - tmp on the whole parent boxes (incl. ghosts)
-        pidx = np.asarray(parents)
+        pidx = sp.aix(parents)
         corr = cc[self.i_phi, pidx] - cc[self.i_tmp, pidx]
         if isinstance(cc, np.ndarray):
             cc[self.i_tmp, pidx] = corr
@@ -526,7 +585,7 @@ class Multigrid:
             cc = cc.at[self.i_tmp, jnp.asarray(pidx)].set(corr)
         # prolong the correction (parents' tmp) additively into the
         # children's phi; children's tmp (their own phi_old) is untouched
-        plan = pr.get_full_plan(t, lvl)
+        plan = self._pr_plan(lvl)
         cc = pr.prolong(cc, plan, [self.i_tmp], "linear", add=True,
                         ivs_to=[self.i_phi])
         return cc
@@ -542,7 +601,7 @@ class Multigrid:
         """One FAS V-cycle (mg_fas_vcycle, ``:185-264``)."""
         t = self.tree
         params = params or {}
-        max_lvl = highest_lvl or t.highest_lvl
+        max_lvl = highest_lvl or self._n_levels()
         for lvl in range(max_lvl, 1, -1):
             cc = self._gsrb_boxes(cc, lvl, self.n_cycle_down, params,
                                   up_cycle=False)
@@ -563,31 +622,36 @@ class Multigrid:
         """FAS full multigrid cycle (mg_fas_fmg, ``:137-180``)."""
         t = self.tree
         params = params or {}
+        n_levels = self._n_levels()
         if have_guess:
-            for lvl in range(t.highest_lvl, 1, -1):
+            for lvl in range(n_levels, 1, -1):
                 cc = self._set_coarse_phi_rhs(cc, lvl, params)
         else:
             # init_phi_rhs: phi = 0 everywhere, restrict rhs down
-            allids = np.concatenate([np.asarray(ids) for ids in t.lvl_ids])
+            allids = np.concatenate(
+                [np.asarray(self._tb(l).ids) for l in range(1, n_levels + 1)]
+            ) if self._pack is None else jnp.concatenate(
+                [jnp.asarray(sp.aix(self._tb(l).ids))
+                 for l in range(1, n_levels + 1)])
             if isinstance(cc, np.ndarray):
                 cc[self.i_phi, allids] = 0.0
             else:
                 cc = cc.at[self.i_phi, jnp.asarray(allids)].set(0.0)
-            for lvl in range(t.highest_lvl, 1, -1):
-                plan = pr.get_full_plan(t, lvl)
+            for lvl in range(n_levels, 1, -1):
+                plan = self._pr_plan(lvl)
                 cc = pr.restrict(cc, plan, [self.i_rhs], use_geometry=True)
         # level 1
-        ids1 = np.asarray(t.lvl_ids[0])
+        ids1 = sp.aix(self._tb(1).ids)
         if isinstance(cc, np.ndarray):
             cc[self.i_tmp, ids1] = cc[self.i_phi, ids1]
         else:
             cc = cc.at[self.i_tmp, jnp.asarray(ids1)].set(
                 cc[self.i_phi, jnp.asarray(ids1)])
         cc = self.fas_vcycle(cc, params,
-                             set_residual and t.highest_lvl == 1,
+                             set_residual and n_levels == 1,
                              highest_lvl=1)
-        for lvl in range(2, t.highest_lvl + 1):
-            ids = np.asarray(t.lvl_ids[lvl - 1])
+        for lvl in range(2, n_levels + 1):
+            ids = sp.aix(self._tb(lvl).ids)
             if isinstance(cc, np.ndarray):
                 cc[self.i_tmp, ids] = cc[self.i_phi, ids]
             else:
@@ -596,7 +660,7 @@ class Multigrid:
             cc = self._correct_children(cc, lvl)
             cc = self._gc_lvl(cc, lvl, params)
             cc = self.fas_vcycle(cc, params,
-                                 set_residual and lvl == t.highest_lvl,
+                                 set_residual and lvl == n_levels,
                                  highest_lvl=lvl)
         return cc
 
@@ -606,8 +670,8 @@ class Multigrid:
         mg_box_lpl_gradient, ``m_af_multigrid.f90:1837-1974``)."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        for lvl in range(1, t.highest_lvl + 1):
-            ids = np.asarray(t.lvl_ids[lvl - 1])
+        for lvl in range(1, self._n_levels() + 1):
+            ids = sp.aix(self._tb(lvl).ids)
             dr = t.lvl_dr(lvl)
             B = blocks(cc, self.i_phi, ids, nc, ndim)
             for d in range(ndim):
@@ -626,8 +690,8 @@ class Multigrid:
         ``m_af_multigrid.f90:1995-2025``): average of the two faces."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        for lvl in range(1, t.highest_lvl + 1):
-            ids = np.asarray(t.lvl_ids[lvl - 1])
+        for lvl in range(1, self._n_levels() + 1):
+            ids = sp.aix(self._tb(lvl).ids)
             acc = 0.0
             for d in range(ndim):
                 F = ro.fc_get_faces(fc, i_fc, d, ids, nc, ndim)
@@ -641,3 +705,113 @@ class Multigrid:
             norm = 0.5 * xp.sqrt(acc)
             cc = scatter_interior(cc, i_norm, ids, norm, nc, ndim)
         return cc
+
+
+# ---------------------------------------------------------------------------
+# Compiled execution: jitted units over the epoch pack
+# ---------------------------------------------------------------------------
+def _mg_jit_mixin():
+    """Attached below to keep the class body above readable."""
+
+
+def _pack_and_ops(self, dtype=None):
+    """(EpochPack, padded LevelOps) for the current epoch."""
+    pad, trash = self._jit_cfg
+    pack = tp.get_epoch_pack(self.tree, pad=pad, trash=trash, dtype=dtype)
+    cache = self._jit_units.setdefault("_ops_cache", {})
+    dkey = None if dtype is None else np.dtype(dtype).str
+    if cache.get("key") != (self.tree.epoch, dkey):
+        cache.clear()
+        cache["key"] = (self.tree.epoch, dkey)
+        ops = tuple(
+            LevelOp(self.tree, l, self.lam, self.lsf_data, self.eps_data,
+                    pad=pad, trash=trash)
+            for l in range(1, self.tree.highest_lvl + 1))
+        if dtype is not None and np.dtype(dtype) != np.float64:
+            ops = tp.cast_pack_floats(ops, dtype)
+        cache["ops"] = ops
+    return pack, cache["ops"]
+
+
+def enable_jit(self, pad: bool = True, trash: int = 0):
+    """Route device-array cycle calls through jitted units that take the
+    epoch pack as a runtime argument: refinement epochs whose bucketed
+    table shapes match reuse the compiled executables (no retrace)."""
+    if self.lsf_data is not None or self.eps_data is not None:
+        raise ValueError("compiled multigrid path supports the constant/"
+                         "cylindrical operator only (no LSF/eps yet)")
+    if getattr(self, "_jit_cfg", None) != (pad, trash):
+        # the trash row index is baked into the traced closures
+        self._jit_units.clear()
+    self._jit_cfg = (pad, trash)
+    self.coarse_solver()  # build level-1 solver outside any trace
+
+
+def _run_unit(self, name, body, cc, params, *extra):
+    """Dispatch a jitted unit: body(cc, scal, *extra) with the ambient
+    pack set during tracing."""
+    pack, ops = _pack_and_ops(self, dtype=cc.dtype)
+    scal = {k: v for k, v in (params or {}).items()
+            if np.ndim(v) == 0}
+    if name not in self._jit_units:
+        mgself = self
+        pad, trash = self._jit_cfg
+
+        def traced(cc, scal, pack, ops, *extra):
+            old = (mgself._pack, mgself._pack_ops)
+            mgself._pack, mgself._pack_ops = pack, ops
+            try:
+                if pad:
+                    cc = cc.at[:, trash].set(0.0)
+                return body(cc, scal, *extra)
+            finally:
+                mgself._pack, mgself._pack_ops = old
+
+        self._jit_units[name] = jax.jit(traced)
+    return self._jit_units[name](cc, scal, pack, ops, *extra)
+
+
+def jit_vcycle_res(self, cc, params):
+    """One FAS V-cycle + masked max |residual| over the leaves."""
+    def body(cc, scal):
+        cc = self.fas_vcycle(cc, scal, set_residual=True)
+        res = self.max_abs_residual(cc, phi_b=scal.get("lsf_phi_b", 0.0))
+        return cc, res
+    return self._run_unit("vcycle_res", body, cc, params)
+
+
+def jit_fmg_res(self, cc, params):
+    """One FMG cycle (with guess) + masked max |residual|."""
+    def body(cc, scal):
+        cc = self.fas_fmg(cc, scal, set_residual=True, have_guess=True)
+        res = self.max_abs_residual(cc, phi_b=scal.get("lsf_phi_b", 0.0))
+        return cc, res
+    return self._run_unit("fmg_res", body, cc, params)
+
+
+def jit_max_abs_leaves(self, cc, iv: int):
+    """Masked max |cc[iv]| over leaf interiors (af_tree_maxabs_cc)."""
+    def body(cc, scal):
+        m = 0.0
+        nc, ndim = self.tree.nc, self.tree.ndim
+        for lvl in range(1, self._n_levels() + 1):
+            tb = self._tb(lvl)
+            if tb.n_leaves == 0:
+                continue
+            B = blocks(cc, iv, tb.leaves, nc, ndim)
+            B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
+            valid = tb.leaf_valid.reshape((len(tb.leaves),) + (1,) * ndim)
+            B = jnp.where(valid > 0, jnp.abs(B), 0.0)
+            m = jnp.maximum(m, jnp.max(B))
+        return m
+    return self._run_unit(f"maxabs_{iv}", body, cc, None)
+
+
+Multigrid._pack_and_ops = _pack_and_ops
+Multigrid.enable_jit = enable_jit
+Multigrid._run_unit = _run_unit
+Multigrid.jit_vcycle_res = jit_vcycle_res
+Multigrid.jit_fmg_res = jit_fmg_res
+Multigrid.jit_max_abs_leaves = jit_max_abs_leaves
+
+tp.register_level_op()
