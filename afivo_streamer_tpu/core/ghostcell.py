@@ -232,16 +232,36 @@ class GcLevelPlan:
                 p.rb_c1, p.rb_c2, p.rb_c3 = c1, c2, c3
                 p.rb_tmp, p.rb_pcopy = tmp, pcopy
             if pad:
-                nb = tp.bucket(len(p.copy_ids))
+                nb = tp.bucket_hwm(tree, ("gc", lvl, d, "c"),
+                                   len(p.copy_ids))
                 p.copy_ids = tp.pad_ids(p.copy_ids, nb, trash)
                 p.copy_nb = tp.pad_ids(p.copy_nb, nb, trash)
-                nb = tp.bucket(len(p.bc_ids))
+                nb = tp.bucket_hwm(tree, ("gc", lvl, d, "b"),
+                                   len(p.bc_ids))
                 p.bc_ids = tp.pad_ids(p.bc_ids, nb, trash)
                 if p.bc_coords is not None:
                     p.bc_coords = tp.pad_rows(p.bc_coords, nb)
-                nb = tp.bucket(len(p.rb_ids))
+                elif nb > 0:
+                    # the case is empty this epoch but its bucket high-water
+                    # mark is not: all-dummy tables keep the shapes stable
+                    p.bc_coords = np.full((nb, nc ** (ndim - 1), ndim),
+                                          tree.r_base[0] if False else 0.0)
+                nb = tp.bucket_hwm(tree, ("gc", lvl, d, "r"),
+                                   len(p.rb_ids))
                 p.rb_ids = tp.pad_ids(p.rb_ids, nb, trash)
-                if nb > 0 and p.rb_c1 is not None:
+                if nb > 0 and p.rb_c1 is None:
+                    F = nc ** (ndim - 1)
+                    T = 1 if ndim == 1 else ((hnc + 2) if ndim == 2
+                                             else (hnc + 2) ** 2)
+                    p.rb_coarse = np.full(nb, trash, np.int32)
+                    p.rb_parent = np.full(nb, trash, np.int32)
+                    p.rb_c1 = np.zeros((nb, F), np.int32)
+                    p.rb_c2 = np.zeros((nb, F), np.int32)
+                    p.rb_c3 = (np.zeros((nb, F), np.int32) if ndim == 3
+                               else None)
+                    p.rb_tmp = np.zeros((nb, T), np.int32)
+                    p.rb_pcopy = np.zeros((nb, F), np.int32)
+                elif nb > 0:
                     p.rb_coarse = tp.pad_ids(p.rb_coarse, nb, trash)
                     p.rb_parent = tp.pad_ids(p.rb_parent, nb, trash)
                     p.rb_c1 = tp.pad_rows(p.rb_c1, nb)
@@ -279,12 +299,15 @@ class GcLevelPlan:
                     "ext_ids": np.asarray(ext_ids, np.int32),
                 }
                 if pad:
-                    nb2 = tp.bucket(len(plan["copy_ids"]))
+                    ck = ("gcc", lvl, len(self.corner_plans))
+                    nb2 = tp.bucket_hwm(tree, ck + ("c",),
+                                        len(plan["copy_ids"]))
                     plan["copy_ids"] = tp.pad_ids(plan["copy_ids"], nb2, trash)
                     plan["copy_nb"] = tp.pad_ids(plan["copy_nb"], nb2, trash)
                     plan["ext_ids"] = tp.pad_ids(
-                        plan["ext_ids"], tp.bucket(len(plan["ext_ids"])),
-                        trash)
+                        plan["ext_ids"],
+                        tp.bucket_hwm(tree, ck + ("e",),
+                                      len(plan["ext_ids"])), trash)
                 # extrapolation neighbors (af_corner_gc_extrap)
                 if ndim == 2:
                     a = pos.copy(); a[0] += di[0]
@@ -348,14 +371,17 @@ class GcLevelPlan:
                         "ext_c": line_idx(g0 + di2[0], g1 + di2[1], run),
                     }
                     if pad:
-                        nb2 = tp.bucket(len(plan["copy_ids"]))
+                        ek = ("gce", lvl, len(self.edge_plans))
+                        nb2 = tp.bucket_hwm(tree, ek + ("c",),
+                                            len(plan["copy_ids"]))
                         plan["copy_ids"] = tp.pad_ids(plan["copy_ids"], nb2,
                                                       trash)
                         plan["copy_nb"] = tp.pad_ids(plan["copy_nb"], nb2,
                                                      trash)
                         plan["ext_ids"] = tp.pad_ids(
                             plan["ext_ids"],
-                            tp.bucket(len(plan["ext_ids"])), trash)
+                            tp.bucket_hwm(tree, ek + ("e",),
+                                          len(plan["ext_ids"])), trash)
                     self.edge_plans.append(plan)
 
 
@@ -400,6 +426,12 @@ def _scat(cc, ivs, ids, sidx, vals):
     if isinstance(cc, np.ndarray):
         cc[idx] = vals
         return cc
+    # cast: strong-f64 constants (e.g. np domain lengths entering a BC
+    # expression) must not widen an f32 scatter (JAX FutureWarning ->
+    # future error)
+    vals = _xp(cc).asarray(vals)
+    if vals.dtype != cc.dtype:
+        vals = vals.astype(cc.dtype)
     return cc.at[idx].set(vals)
 
 

@@ -147,7 +147,8 @@ class ProlongRestrictPlan:
             ch = ch.astype(np.int32)
             if pad:
                 from . import treepack as tp
-                nb = tp.bucket(len(ch))
+                lvl_ch = int(tree.lvl[ch[0]]) if len(ch) else 0
+                nb = tp.bucket_hwm(tree, ("pr", lvl_ch, parity), len(ch))
                 par = tp.pad_ids(par, nb, trash)
                 ch = tp.pad_ids(ch, nb, trash)
                 if cyl_w is not None:
@@ -185,6 +186,11 @@ def _scat_pr(cc, ivs, ids, sidx, vals, add=False):
         else:
             cc[idx] = vals
         return cc
+    import jax.numpy as jnp
+    vals = jnp.asarray(vals)
+    if vals.dtype != cc.dtype:
+        # strong-f64 constants must not widen an f32 scatter
+        vals = vals.astype(cc.dtype)
     return cc.at[idx].add(vals) if add else cc.at[idx].set(vals)
 
 

@@ -422,6 +422,24 @@ class Tree:
     def _apply_flags(self, flags: Dict[int, int]) -> RefInfo:
         """Add/remove children according to final flags."""
         info = RefInfo()
+        # fast path: nothing to do -> do NOT bump the topology epoch (the
+        # plan/pack caches stay valid; the reference checks refinement
+        # every 2 steps but the mesh changes far less often)
+        changes = False
+        for lvl in range(1, self.highest_lvl + 1):
+            if lvl - 1 >= len(self.lvl_ids):
+                break
+            for bid in self.lvl_ids[lvl - 1]:
+                f = flags.get(int(bid), KEEP_REF)
+                if (f == REFINE
+                        or (f == DO_REF and not self.has_children(int(bid)))
+                        or f == DEREFINE):
+                    changes = True
+                    break
+            if changes:
+                break
+        if not changes:
+            return info
         # process level by level (children never flagged REFINE themselves)
         for lvl in range(1, self.highest_lvl + 1):
             if lvl - 1 >= len(self.lvl_ids):

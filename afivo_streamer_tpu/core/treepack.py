@@ -43,6 +43,16 @@ def bucket(n: int) -> int:
     return b
 
 
+def bucket_hwm(tree, key, n: int) -> int:
+    """Bucket with a per-tree high-water mark: a table that shrinks keeps
+    its previous bucket, so derefinement epochs never change shapes (and
+    never recompile); only growth past the mark does."""
+    hw = tree.__dict__.setdefault("_bucket_hwm", {})
+    b = max(bucket(n), hw.get(key, 0))
+    hw[key] = b
+    return b
+
+
 def pad_ids(a: np.ndarray, n_pad: int, trash: int) -> np.ndarray:
     """Pad a box-id table along axis 0 with the trash box."""
     if n_pad <= len(a):
@@ -114,9 +124,9 @@ class LevelTables:
         ids_valid = np.ones(len(ids))
         leaf_valid = np.ones(len(leaves))
         if pad:
-            nb_ids = bucket(len(ids))
-            nb_leaves = bucket(len(leaves))
-            nb_parents = bucket(len(parents))
+            nb_ids = bucket_hwm(tree, ("tb", lvl, "i"), len(ids))
+            nb_leaves = bucket_hwm(tree, ("tb", lvl, "l"), len(leaves))
+            nb_parents = bucket_hwm(tree, ("tb", lvl, "p"), len(parents))
             ids = pad_ids(ids, nb_ids, trash)
             leaves = pad_ids(leaves, nb_leaves, trash)
             parents = pad_ids(parents, nb_parents, trash)
@@ -265,20 +275,23 @@ def _op_flatten(op):
     cnb_aux = tuple(None if _is_dyn(c) else float(c) for c in op.c_nb)
     c0_dyn = op.c0 if _is_dyn(op.c0) else None
     c0_aux = None if _is_dyn(op.c0) else float(op.c0)
-    children = (c0_dyn, cnb_dyn, op.f, op.bc_coeff, op.ids)
+    cs_dyn = op.c_sum if _is_dyn(op.c_sum) else None
+    cs_aux = None if _is_dyn(op.c_sum) else float(op.c_sum)
+    children = (c0_dyn, cnb_dyn, op.f, op.bc_coeff, op.ids, cs_dyn)
     aux = (c0_aux, cnb_aux, op.per_box,
-           None if op.veps is None else _freeze(op.veps))
+           None if op.veps is None else _freeze(op.veps), cs_aux)
     return children, aux
 
 
 def _op_unflatten(aux, children):
     from ..solvers.multigrid import LevelOp
     obj = object.__new__(LevelOp)
-    c0_dyn, cnb_dyn, obj.f, obj.bc_coeff, obj.ids = children
-    c0_aux, cnb_aux, obj.per_box, veps = aux
+    c0_dyn, cnb_dyn, obj.f, obj.bc_coeff, obj.ids, cs_dyn = children
+    c0_aux, cnb_aux, obj.per_box, veps, cs_aux = aux
     obj.c0 = c0_dyn if c0_aux is None else c0_aux
     obj.c_nb = [d if a is None else a for d, a in zip(cnb_dyn, cnb_aux)]
     obj.veps = None if veps is None else _thaw(veps)
+    obj.c_sum = cs_dyn if cs_aux is None else cs_aux
     return obj
 
 
@@ -413,6 +426,12 @@ def get_epoch_pack(tree: Tree, pad: bool = False, trash: int = 0,
         pack = EpochPack(tree, pad=pad, trash=trash, with_gc2=with_gc2)
         if dtype is not None and np.dtype(dtype) != np.float64:
             pack = cast_pack_floats(pack, dtype)
+        if pad:
+            # compiled mode: place every table on device ONCE per epoch;
+            # NumPy leaves in a jit argument would be re-transferred
+            # host->device on every unit call (hundreds of small H2D
+            # copies per V-cycle)
+            pack = jax.device_put(pack)
         cache[key] = pack
     return cache[key]
 

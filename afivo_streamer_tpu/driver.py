@@ -435,7 +435,13 @@ class Simulation:
                 "compiled%enabled does not support gas dynamics/"
                 "electrodes/dielectrics/plasma regions/energy model yet")
         self._to_host()
-        cap = tp.bucket(self.tree.highest_id + 1)
+        # capacity with hysteresis: shrinking would change the state shape
+        # and the trash row, clearing every compiled executable.
+        # highest_id + 2: the trash row must never alias a real box (with
+        # +1, an exactly-power-of-two box count would put the trash row on
+        # the last real box)
+        cap = max(tp.bucket(self.tree.highest_id + 2),
+                  self.cc.shape[1] if self._compiled_on else 0)
         if self.cc.shape[1] != cap:
             cc = np.zeros((self.cc.shape[0], cap, self.cc.shape[2]))
             cc[:, :min(cap, self.cc.shape[1])] = \

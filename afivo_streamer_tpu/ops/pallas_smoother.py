@@ -130,13 +130,14 @@ class PallasSmoother2D:
         #: whether any parity-swap (veps extrapolation) terms are present
         self.has_swap = bool(np.any(W[:, :, 3:5] != 0.0))
 
-        # stencil coefficient blocks [n, 5, nc, nc]: c0 + 4 neighbor coeffs
-        # (scalar / cylindrical [n, nc, 1] / per-cell all broadcast)
-        cs = np.zeros((n, 5, nc, nc))
+        # stencil coefficient blocks [n, 6, nc, nc]: c0, 4 neighbor
+        # coeffs, and the difference-form sum c_sum (see LevelOp.c_sum)
+        cs = np.zeros((n, 6, nc, nc))
         shape = (n, nc, nc)
         cs[:, 0] = np.broadcast_to(np.asarray(op.c0), shape)
         for d in range(4):
             cs[:, 1 + d] = np.broadcast_to(np.asarray(op.c_nb[d]), shape)
+        cs[:, 5] = np.broadcast_to(np.asarray(op.c_sum), shape)
         self.cs = cs
         self._op = op
         self._bc_fn = bc_fn
@@ -185,131 +186,148 @@ class PallasSmoother2D:
         """Red-black interior update using the blocks' current ghosts
         (matches the host order: sweep first, then ghost exchange).
         phi3: [cap, C, C]; returns updated [n, C, C] blocks."""
-        nc, n = self.nc, self.n
-        C = nc + 2
         cs = jnp.asarray(self.cs, phi3.dtype)
-
-        def kernel(g0, g1, g2, g3, g4, own_ref, cs_ref, R_ref, M_ref,
-                   o_ref):
-            B = own_ref[0]
-            c = cs_ref[0]
-            off = (c[1] * B[0:nc, 1:nc + 1] + c[2] * B[2:nc + 2, 1:nc + 1]
-                   + c[3] * B[1:nc + 1, 0:nc] + c[4] * B[1:nc + 1, 2:nc + 2])
-            new = (R_ref[0] - off) / c[0]
-            upd = jnp.where(M_ref[...] > 0, new, B[1:nc + 1, 1:nc + 1])
-            o_ref[0] = B
-            o_ref[0, 1:nc + 1, 1:nc + 1] = upd
-
-        # int32 prefetch indices (the backend cannot pass s64 operands to
-        # the custom call); the index maps below return int32 constants so
-        # the Mosaic transform is type-consistent under jax_enable_x64
-        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(5)]
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
-                grid=(n,),
-                in_specs=[
-                    pl.BlockSpec((1, C, C),
-                                 lambda i, g0, g1, g2, g3, g4:
-                                 (g0[i], z(), z())),
-                    pl.BlockSpec((1, 5, nc, nc),
-                                 lambda i, *g: (i, z(), z(), z())),
-                    pl.BlockSpec((1, nc, nc), lambda i, *g: (i, z(), z())),
-                    pl.BlockSpec((nc, nc), lambda i, *g: (z(), z())),
-                ],
-                out_specs=pl.BlockSpec((1, C, C), lambda i, *g: (i, z(), z())),
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, C, C), phi3.dtype),
-            interpret=interpret,
-        )(*gs, phi3, cs, R, mask)
+        return _sweep_2d(phi3, R, mask, self.g, cs, self.nc, self.n,
+                         interpret)
 
     def fill(self, phi3, A, interpret: bool = False):
         """Ghost exchange: every side ghost from the uniform linear form
         over the (updated) neighbor slab and own edge layers."""
-        nc, n = self.nc, self.n
-        C = nc + 2
-        slabs = _edge_slabs_2d(nc)
         W = jnp.asarray(self.W, phi3.dtype)
+        return _fill_2d(phi3, A, self.g, W, self.nc, self.n,
+                        self.has_swap, interpret)
 
-        par = jnp.asarray((np.arange(nc) % 2 == 0).astype(np.float32))
 
-        def kernel(g0, g1, g2, g3, g4, own_ref, nb0_ref, nb1_ref,
-                   nb2_ref, nb3_ref, W_ref, A_ref, o_ref):
-            B = own_ref[0]
-            nbs = (nb0_ref[0], nb1_ref[0], nb2_ref[0], nb3_ref[0])
-            rows = []
-            cols = []
-            for d, s in enumerate(slabs):
-                nb = nbs[d]
-                if s["axis"] == 0:
-                    slab = nb[s["nb_row"], 1:nc + 1]
-                    f1 = B[s["f1_row"], 1:nc + 1]
-                    f2 = B[s["f2_row"], 1:nc + 1]
-                else:
-                    slab = nb[1:nc + 1, s["nb_row"]]
-                    f1 = B[1:nc + 1, s["f1_row"]]
-                    f2 = B[1:nc + 1, s["f2_row"]]
-                w = W_ref[0, d]
-                ghost = (w[0] * slab + w[1] * f1 + w[2] * f2
-                         + A_ref[0, d])
-                if self.has_swap:
-                    # adjacent-pair swap via rolls + parity select
-                    # (reshape-based swaps do not lower on this backend)
-                    f1s = jnp.where(par > 0, jnp.roll(f1, -1),
-                                    jnp.roll(f1, 1))
-                    f2s = jnp.where(par > 0, jnp.roll(f2, -1),
-                                    jnp.roll(f2, 1))
-                    ghost = ghost + w[3] * f1s + w[4] * f2s
-                if s["axis"] == 0:
-                    rows.append((s["g_row"], ghost))
-                else:
-                    cols.append((s["g_row"], ghost))
-            # rebuild B with the new ghost rows/columns (corners kept)
-            row_lo = jnp.concatenate(
-                [B[0:1, 0:1], rows[0][1][None, :], B[0:1, nc + 1:]], 1)
-            row_hi = jnp.concatenate(
-                [B[nc + 1:, 0:1], rows[1][1][None, :],
-                 B[nc + 1:, nc + 1:]], 1)
-            Bmid = B[1:nc + 1]
-            col_lo = cols[0][1][:, None]
-            col_hi = cols[1][1][:, None]
-            Bmid = jnp.concatenate([col_lo, Bmid[:, 1:nc + 1], col_hi], 1)
-            o_ref[0] = jnp.concatenate([row_lo, Bmid, row_hi], 0)
+def _sweep_2d(phi3, R, mask, g, cs, nc: int, n: int,
+              interpret: bool = False):
+    """Fused half red-black sweep over [n, C, C] level-local blocks.
+    ``g``/``cs`` may be constants (legacy baked mode) or traced runtime
+    tables (epoch-pack mode)."""
+    C = nc + 2
 
-        # int32 prefetch indices (the backend cannot pass s64 operands to
-        # the custom call); the index maps below return int32 constants so
-        # the Mosaic transform is type-consistent under jax_enable_x64
-        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(5)]
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
-                grid=(n,),
-                in_specs=[
-                    pl.BlockSpec((1, C, C),
-                                 lambda i, g0, g1, g2, g3, g4:
-                                 (g0[i], z(), z())),
-                    pl.BlockSpec((1, C, C),
-                                 lambda i, g0, g1, g2, g3, g4:
-                                 (g1[i], z(), z())),
-                    pl.BlockSpec((1, C, C),
-                                 lambda i, g0, g1, g2, g3, g4:
-                                 (g2[i], z(), z())),
-                    pl.BlockSpec((1, C, C),
-                                 lambda i, g0, g1, g2, g3, g4:
-                                 (g3[i], z(), z())),
-                    pl.BlockSpec((1, C, C),
-                                 lambda i, g0, g1, g2, g3, g4:
-                                 (g4[i], z(), z())),
-                    pl.BlockSpec((1, 4, 8), lambda i, *g: (i, z(), z())),
-                    pl.BlockSpec((1, 4, nc), lambda i, *g: (i, z(), z())),
-                ],
-                out_specs=pl.BlockSpec((1, C, C), lambda i, *g: (i, z(), z())),
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, C, C), phi3.dtype),
-            interpret=interpret,
-        )(*gs, phi3, phi3, phi3, phi3, phi3, W, A)
+    def kernel(g0, g1, g2, g3, g4, own_ref, cs_ref, R_ref, M_ref,
+               o_ref):
+        B = own_ref[0]
+        c = cs_ref[0]
+        B0 = B[1:nc + 1, 1:nc + 1]
+        # difference form (see LevelOp.c_sum): no |phi|-scale
+        # cancellation, so the f32 residual floor tracks d(phi) not phi
+        lphi = (c[5] * B0
+                + c[1] * (B[0:nc, 1:nc + 1] - B0)
+                + c[2] * (B[2:nc + 2, 1:nc + 1] - B0)
+                + c[3] * (B[1:nc + 1, 0:nc] - B0)
+                + c[4] * (B[1:nc + 1, 2:nc + 2] - B0))
+        new = B0 + (R_ref[0] - lphi) / c[0]
+        upd = jnp.where(M_ref[...] > 0, new, B0)
+        o_ref[0] = B
+        o_ref[0, 1:nc + 1, 1:nc + 1] = upd
+
+    # int32 prefetch indices (the backend cannot pass s64 operands to
+    # the custom call); the index maps below return int32 constants so
+    # the Mosaic transform is type-consistent under jax_enable_x64
+    gs = [jnp.asarray(g[:, k], jnp.int32) for k in range(5)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g0[i], z(), z())),
+                pl.BlockSpec((1, 6, nc, nc),
+                             lambda i, *g: (i, z(), z(), z())),
+                pl.BlockSpec((1, nc, nc), lambda i, *g: (i, z(), z())),
+                pl.BlockSpec((nc, nc), lambda i, *g: (z(), z())),
+            ],
+            out_specs=pl.BlockSpec((1, C, C), lambda i, *g: (i, z(), z())),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, C, C), phi3.dtype),
+        interpret=interpret,
+    )(*gs, phi3, cs, R, mask)
+
+
+def _fill_2d(phi3, A, g, W, nc: int, n: int, has_swap: bool,
+             interpret: bool = False):
+    """Fused ghost exchange over [n, C, C] level-local blocks."""
+    C = nc + 2
+    slabs = _edge_slabs_2d(nc)
+    par = jnp.asarray((np.arange(nc) % 2 == 0).astype(np.float32))
+
+    def kernel(g0, g1, g2, g3, g4, own_ref, nb0_ref, nb1_ref,
+               nb2_ref, nb3_ref, W_ref, A_ref, o_ref):
+        B = own_ref[0]
+        nbs = (nb0_ref[0], nb1_ref[0], nb2_ref[0], nb3_ref[0])
+        rows = []
+        cols = []
+        for d, s in enumerate(slabs):
+            nb = nbs[d]
+            if s["axis"] == 0:
+                slab = nb[s["nb_row"], 1:nc + 1]
+                f1 = B[s["f1_row"], 1:nc + 1]
+                f2 = B[s["f2_row"], 1:nc + 1]
+            else:
+                slab = nb[1:nc + 1, s["nb_row"]]
+                f1 = B[1:nc + 1, s["f1_row"]]
+                f2 = B[1:nc + 1, s["f2_row"]]
+            w = W_ref[0, d]
+            ghost = (w[0] * slab + w[1] * f1 + w[2] * f2
+                     + A_ref[0, d])
+            if has_swap:
+                # adjacent-pair swap via rolls + parity select
+                # (reshape-based swaps do not lower on this backend)
+                f1s = jnp.where(par > 0, jnp.roll(f1, -1),
+                                jnp.roll(f1, 1))
+                f2s = jnp.where(par > 0, jnp.roll(f2, -1),
+                                jnp.roll(f2, 1))
+                ghost = ghost + w[3] * f1s + w[4] * f2s
+            if s["axis"] == 0:
+                rows.append((s["g_row"], ghost))
+            else:
+                cols.append((s["g_row"], ghost))
+        # rebuild B with the new ghost rows/columns (corners kept)
+        row_lo = jnp.concatenate(
+            [B[0:1, 0:1], rows[0][1][None, :], B[0:1, nc + 1:]], 1)
+        row_hi = jnp.concatenate(
+            [B[nc + 1:, 0:1], rows[1][1][None, :],
+             B[nc + 1:, nc + 1:]], 1)
+        Bmid = B[1:nc + 1]
+        col_lo = cols[0][1][:, None]
+        col_hi = cols[1][1][:, None]
+        Bmid = jnp.concatenate([col_lo, Bmid[:, 1:nc + 1], col_hi], 1)
+        o_ref[0] = jnp.concatenate([row_lo, Bmid, row_hi], 0)
+
+    # int32 prefetch indices (see _sweep_2d)
+    gs = [jnp.asarray(g[:, k], jnp.int32) for k in range(5)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g0[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g1[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g2[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g3[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g4[i], z(), z())),
+                pl.BlockSpec((1, 4, 8), lambda i, *g: (i, z(), z())),
+                pl.BlockSpec((1, 4, nc), lambda i, *g: (i, z(), z())),
+            ],
+            out_specs=pl.BlockSpec((1, C, C), lambda i, *g: (i, z(), z())),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, C, C), phi3.dtype),
+        interpret=interpret,
+    )(*gs, phi3, phi3, phi3, phi3, phi3, W, A)
 
 
 class PallasSmoother3D:
@@ -376,11 +394,12 @@ class PallasSmoother3D:
                 self.a_groups.append(("rb", d, rows, p, emask))
         self.W = W
 
-        cs = np.zeros((n, 7, nc, nc, nc))
+        cs = np.zeros((n, 8, nc, nc, nc))
         shape = (n, nc, nc, nc)
         cs[:, 0] = np.broadcast_to(np.asarray(op.c0), shape)
         for d in range(6):
             cs[:, 1 + d] = np.broadcast_to(np.asarray(op.c_nb[d]), shape)
+        cs[:, 7] = np.broadcast_to(np.asarray(op.c_sum), shape)
         self.cs = cs
         self._op = op
         self._bc_fn = bc_fn
@@ -427,15 +446,17 @@ class PallasSmoother3D:
                    M_ref, o_ref):
             B = own_ref[0]
             c = cs_ref[0]
-            off = (c[1] * B[0:nc, 1:nc + 1, 1:nc + 1]
-                   + c[2] * B[2:nc + 2, 1:nc + 1, 1:nc + 1]
-                   + c[3] * B[1:nc + 1, 0:nc, 1:nc + 1]
-                   + c[4] * B[1:nc + 1, 2:nc + 2, 1:nc + 1]
-                   + c[5] * B[1:nc + 1, 1:nc + 1, 0:nc]
-                   + c[6] * B[1:nc + 1, 1:nc + 1, 2:nc + 2])
-            new = (R_ref[0] - off) / c[0]
-            upd = jnp.where(M_ref[...] > 0, new,
-                            B[1:nc + 1, 1:nc + 1, 1:nc + 1])
+            B0 = B[1:nc + 1, 1:nc + 1, 1:nc + 1]
+            # difference form, see LevelOp.c_sum / _sweep_2d
+            lphi = (c[7] * B0
+                    + c[1] * (B[0:nc, 1:nc + 1, 1:nc + 1] - B0)
+                    + c[2] * (B[2:nc + 2, 1:nc + 1, 1:nc + 1] - B0)
+                    + c[3] * (B[1:nc + 1, 0:nc, 1:nc + 1] - B0)
+                    + c[4] * (B[1:nc + 1, 2:nc + 2, 1:nc + 1] - B0)
+                    + c[5] * (B[1:nc + 1, 1:nc + 1, 0:nc] - B0)
+                    + c[6] * (B[1:nc + 1, 1:nc + 1, 2:nc + 2] - B0))
+            new = B0 + (R_ref[0] - lphi) / c[0]
+            upd = jnp.where(M_ref[...] > 0, new, B0)
             o_ref[0] = B
             o_ref[0, 1:nc + 1, 1:nc + 1, 1:nc + 1] = upd
 
@@ -448,7 +469,7 @@ class PallasSmoother3D:
                 in_specs=[
                     pl.BlockSpec((1, C, C, C),
                                  lambda i, g0, *g: (g0[i], z(), z(), z())),
-                    pl.BlockSpec((1, 7, nc, nc, nc),
+                    pl.BlockSpec((1, 8, nc, nc, nc),
                                  lambda i, *g: (i, z(), z(), z(), z())),
                     pl.BlockSpec((1, nc, nc, nc),
                                  lambda i, *g: (i, z(), z(), z())),
@@ -519,3 +540,151 @@ class PallasSmoother3D:
             out_shape=jax.ShapeDtypeStruct((n, C, C, C), phi3.dtype),
             interpret=interpret,
         )(*gs, phi3, phi3, phi3, phi3, phi3, phi3, phi3, W, A)
+
+
+# ---------------------------------------------------------------------------
+# Epoch-pack mode: runtime tables instead of baked constants
+# ---------------------------------------------------------------------------
+class PackSmoother2D:
+    """Fused-smoother tables for one level in epoch-pack mode.
+
+    The legacy :class:`PallasSmoother2D` bakes its neighbor-row and
+    ghost-weight tables into the trace as constants, which retraces on
+    every refinement epoch. This variant builds the same tables on the
+    host per epoch from the *padded* pack plan (core/treepack.py) and is
+    registered as a pytree, so the tables flow into the jitted units as
+    runtime arguments: epochs with equal bucket shapes reuse the
+    compiled kernels.
+
+    Padded plan entries (key box = trash) are routed to a sacrificial
+    row ``n`` during the host build and sliced away, so they can never
+    corrupt a real box's weights. Level rows that are themselves padding
+    keep ``g = self`` and scatter back to the global trash row.
+    """
+
+    def __init__(self, tree: Tree, lvl: int, plan, tb, bc_fn, i_phi: int,
+                 trash: int):
+        nc, ndim = tree.nc, tree.ndim
+        assert ndim == 2
+        self.nc = nc
+        ids = np.asarray(tb.ids)
+        n = len(ids)
+        self.n = n
+        # box id -> local row; trash (padded) -> sacrificial row n
+        pos = np.full(max(int(ids.max(initial=0)), trash) + 2, n,
+                      np.int64)
+        realm = ids != trash
+        pos[ids[realm]] = np.nonzero(realm)[0]
+
+        g = np.tile(np.arange(n + 1, dtype=np.int64)[:, None], (1, 5))
+        W = np.zeros((n + 1, 4, 8))
+        bc_recipe = []
+        rb_dirs = []
+        bc_pos = [None] * 4
+        rb_pos = [None] * 4
+        for d, p in enumerate(plan.dirs):
+            if len(p.copy_ids):
+                rows = pos[np.asarray(p.copy_ids)]
+                g[rows, 1 + d] = pos[np.asarray(p.copy_nb)]
+                W[rows, d, 0] = 1.0
+            if len(p.bc_ids):
+                bc_type, _ = bc_fn(i_phi, d, p.bc_coords, {})
+                rows = pos[np.asarray(p.bc_ids)]
+                dim, low = neighb_dim(d), neighb_low(d)
+                if bc_type == gc.BC_DIRICHLET:
+                    W[rows, d, 1] = -1.0
+                    gamma = 2.0
+                elif bc_type == gc.BC_NEUMANN:
+                    W[rows, d, 1] = 1.0
+                    gamma = (1.0 if not low else -1.0) * float(plan.dr[dim])
+                elif bc_type == gc.BC_CONTINUOUS:
+                    W[rows, d, 1] = 2.0
+                    W[rows, d, 2] = -1.0
+                    gamma = 0.0
+                elif bc_type == gc.BC_DIRICHLET_COPY:
+                    gamma = 1.0
+                else:
+                    raise ValueError("unsupported bc type")
+                bc_recipe.append((d, int(bc_type), float(gamma)))
+                bc_pos[d] = rows.astype(np.int32)
+            if len(p.rb_ids):
+                rows = pos[np.asarray(p.rb_ids)]
+                W[rows, d, 1] = 0.75
+                W[rows, d, 2] = -0.25
+                rb_dirs.append(d)
+                rb_pos[d] = rows.astype(np.int32)
+        # the sacrificial row collected every padded entry's writes
+        self.g = g[:n].astype(np.int32)
+        self.W = W[:n]
+        self.bc_pos = bc_pos
+        self.rb_pos = rb_pos
+        self.bc_recipe = tuple(bc_recipe)
+        self.rb_dirs = tuple(rb_dirs)
+
+    # ------------------------------------------------- per-visit consts
+    def build_consts(self, cc, i_phi, i_rhs, plan, tb, op, bc_fn, params):
+        """A[n, 4, nc] ghost constants (physical-boundary values folded
+        with the runtime voltage; mg_sides_rb coarse-strip interpolation)
+        and the rhs block. LSF/eps operators are not supported in pack
+        mode (multigrid.enable_jit rejects them)."""
+        nc, n = self.nc, self.n
+        dtype = cc.dtype
+        A = jnp.zeros((n + 1, 4, nc), dtype)
+        for d, _bc_type, gamma in self.bc_recipe:
+            if gamma == 0.0:
+                continue
+            p = plan.dirs[d]
+            _, val = bc_fn(i_phi, d, p.bc_coords, params or {})
+            nbc = len(self.bc_pos[d])
+            val = gamma * (jnp.asarray(val).astype(dtype)
+                           + jnp.zeros((nbc, nc), dtype))
+            A = A.at[jnp.asarray(self.bc_pos[d]), d].add(val)
+        for d in self.rb_dirs:
+            p = plan.dirs[d]
+            tmp = cc[i_phi, jnp.asarray(sp.aix(p.rb_coarse))[:, None],
+                     jnp.asarray(sp.aix(p.rb_tmp))]
+            gci = gc._mg_rb_interp(tmp[None], 2, nc)[0]
+            A = A.at[jnp.asarray(self.rb_pos[d]), d].add(
+                (0.5 * gci).astype(dtype))
+        A = A[:n]
+        interior = sp.interior_flat(2, nc)
+        ids = jnp.asarray(sp.aix(tb.ids))
+        R = cc[i_rhs, ids[:, None],
+               jnp.asarray(interior)[None, :]].reshape(n, nc, nc)
+        return A, R
+
+    def make_cs(self, op, dtype):
+        """Stencil coefficient blocks [n, 6, nc, nc] from the (runtime)
+        LevelOp coefficients (c0, 4 neighbors, c_sum); the broadcast
+        happens on device inside the jitted unit (cheap, fused by XLA)."""
+        n, nc = self.n, self.nc
+        cols = [jnp.broadcast_to(jnp.asarray(op.c0).astype(dtype),
+                                 (n, nc, nc))]
+        for d in range(4):
+            cols.append(jnp.broadcast_to(
+                jnp.asarray(op.c_nb[d]).astype(dtype), (n, nc, nc)))
+        cols.append(jnp.broadcast_to(
+            jnp.asarray(op.c_sum).astype(dtype), (n, nc, nc)))
+        return jnp.stack(cols, axis=1)
+
+    def sweep(self, phi3, R, mask, cs, interpret: bool = False):
+        return _sweep_2d(phi3, R, mask, self.g, cs, self.nc, self.n,
+                         interpret)
+
+    def fill(self, phi3, A, interpret: bool = False):
+        W = jnp.asarray(self.W).astype(phi3.dtype)
+        return _fill_2d(phi3, A, self.g, W, self.nc, self.n, False,
+                        interpret)
+
+
+def _register_pack_smoother():
+    from ..core.treepack import register_plan
+    try:
+        register_plan(PackSmoother2D,
+                      dyn_fields=("g", "W", "bc_pos", "rb_pos"),
+                      aux_fields=("nc", "n", "bc_recipe", "rb_dirs"))
+    except ValueError:
+        pass  # already registered
+
+
+_register_pack_smoother()

@@ -270,7 +270,10 @@ class FieldSolver:
             if d // 2 == ndim - 1:
                 if d % 2 == 0:
                     return gc.BC_DIRICHLET, 0.0
-                return gc.BC_NEUMANN, voltage / self.st.domain_len[ndim - 1]
+                # float(): a np.float64 length would strong-type the BC
+                # value and widen a traced f32 ghost fill to f64
+                return gc.BC_NEUMANN, voltage / float(
+                    self.st.domain_len[ndim - 1])
             return gc.BC_NEUMANN, 0.0
         if self.bc_type == "all_neumann":
             return gc.BC_NEUMANN, 0.0

@@ -233,19 +233,25 @@ class Gc2LevelPlan:
             # padded row of the extended array
             from ..core import treepack as tp
             n_real = len(self.leaves)
-            n_pad = tp.bucket(n_real)
+            n_pad = tp.bucket_hwm(tree, ("g2", lvl, "L"), n_real)
             self.leaves = tp.pad_ids(self.leaves, n_pad, trash)
             pad_row = max(n_pad - 1, 0)
-            for info in self.dirs:
-                nb = tp.bucket(len(info["copy_pos"]))
+            for di, info in enumerate(self.dirs):
+                nb = tp.bucket_hwm(tree, ("g2", lvl, di, "c"),
+                                   len(info["copy_pos"]))
                 info["copy_pos"] = tp.pad_pos(info["copy_pos"], nb, pad_row)
                 info["copy_nb"] = tp.pad_ids(info["copy_nb"], nb, trash)
-                nb = tp.bucket(len(info["bc_pos"]))
+                nb = tp.bucket_hwm(tree, ("g2", lvl, di, "b"),
+                                   len(info["bc_pos"]))
                 info["bc_pos"] = tp.pad_pos(info["bc_pos"], nb, pad_row)
                 info["bc_ids"] = tp.pad_ids(info["bc_ids"], nb, trash)
                 if "bc_coords" in info:
                     info["bc_coords"] = tp.pad_rows(info["bc_coords"], nb)
-                nb = tp.bucket(len(info["rb_pos"]))
+                elif nb > 0:
+                    info["bc_coords"] = np.zeros((nb, nc ** (ndim - 1),
+                                                  ndim))
+                nb = tp.bucket_hwm(tree, ("g2", lvl, di, "r"),
+                                   len(info["rb_pos"]))
                 info["rb_pos"] = tp.pad_pos(info["rb_pos"], nb, pad_row)
                 if nb and "rb_coarse" in info:
                     info["rb_coarse"] = tp.pad_ids(info["rb_coarse"], nb,
@@ -255,6 +261,24 @@ class Gc2LevelPlan:
                                      for a in info["rb_lo"]]
                     info["rb_hi"] = [tp.pad_rows(a, nb)
                                      for a in info["rb_hi"]]
+                elif nb:
+                    # empty this epoch, nonzero high-water mark: dummy
+                    # tables keep the pytree structure and shapes stable
+                    T = hnc ** (ndim - 1)
+                    info["rb_coarse"] = np.full(nb, trash, np.int32)
+                    info["rb_c0"] = np.zeros((nb, T), np.int32)
+                    info["rb_lo"] = [np.zeros((nb, T), np.int32)
+                                     for _ in range(ndim)]
+                    info["rb_hi"] = [np.zeros((nb, T), np.int32)
+                                     for _ in range(ndim)]
+                    import itertools as it
+                    if "rb_targets" not in info:
+                        # static tables: rebuild minimal placeholders
+                        info["rb_targets"] = {
+                            signs: np.zeros(max(T, 1), np.int32)
+                            for signs in it.product([-1, 1], repeat=ndim)}
+                        info["rb_sign_dims"] = [info["dim"]] + [
+                            k for k in range(ndim) if k != info["dim"]]
 
 
 def get_gc2_plan(tree: Tree, lvl: int) -> Gc2LevelPlan:
@@ -1073,14 +1097,18 @@ class FluidModel:
                 finally:
                     self._pack = old
             self._jit_units[key] = jax.jit(traced)
-        scal = {k: v for k, v in (params or {}).items() if np.ndim(v) == 0}
+        scal = {k: v for k, v in (params or {}).items()
+                if k in ("voltage", "lsf_phi_b", "dt_stiff")
+                and np.ndim(v) == 0}
+        scal.setdefault("dt_stiff", 0.0)
         return self._jit_units[key](cc, fc, dt, scal, pack)
 
 
 def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0):
     """Build the flux-matching groups (free function so the epoch pack
     can carry them as pytree leaves; see core/treepack.py)."""
-    from ..core.treepack import ConsistentGroup, bucket, pad_ids, pad_rows
+    from ..core.treepack import (ConsistentGroup, bucket_hwm,
+                                 pad_ids, pad_rows)
     if True:
         t = tree
         nc, ndim = t.nc, t.ndim
@@ -1189,7 +1217,7 @@ def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0):
                             w = (1.0 - tmp) if bits[0] == 0 else (1.0 + tmp)
                             weights[si][pi] = w
             if pad:
-                nb_p = bucket(len(nbs))
+                nb_p = bucket_hwm(tree, ("cons", lvl, d), len(nbs))
                 nbs = pad_ids(nbs, nb_p, trash)
                 chs = pad_ids(chs, nb_p, trash)
                 tgt_idx = pad_rows(tgt_idx, nb_p)

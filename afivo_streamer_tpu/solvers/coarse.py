@@ -217,7 +217,7 @@ class CoarseSolver:
                            * (cast_bc(bval, cc)
                               + jnp.zeros(len(self.bc_rows[d]), rhs.dtype)))
                 rhs = rhs.at[jnp.asarray(self.bc_rows[d])].add(
-                    -contrib.ravel())
+                    -contrib.ravel().astype(rhs.dtype))
         if isinstance(cc, np.ndarray):
             x = self.A_inv @ rhs
             cc[i_phi, self.ids1[:, None], self.interior_sidx[None, :]] = \
@@ -305,7 +305,11 @@ class UniformCoarseMG:
                 hi = ((r + 0.5 * drl[0]) / r).reshape(shape_r) * inv_dr2[0]
                 c0 = c0 - (lo - inv_dr2[0]) - (hi - inv_dr2[0])
                 c_nb[0], c_nb[1] = lo, hi
-            self.ops.append((c0, c_nb))
+            # difference-form sum (f64, before any cast): see
+            # multigrid.LevelOp.c_sum — equals -lam up to f64 rounding
+            c_sum = c0 + sum(np.broadcast_to(c, ())
+                             if np.ndim(c) == 0 else c for c in c_nb)
+            self.ops.append((c0, c_nb, c_sum))
 
         # boundary types (static) and fine-level face coordinates
         self.bc_types = []
@@ -350,7 +354,7 @@ class UniformCoarseMG:
 
     def _assemble_bottom_inverse(self):
         shp, _ = self.levels[-1]
-        c0, c_nb = self.ops[-1]
+        c0, c_nb, _ = self.ops[-1]
         ndim = self.ndim
         N = int(np.prod(shp))
         A = np.zeros((N, N))
@@ -422,33 +426,26 @@ class UniformCoarseMG:
         return up
 
     def _apply(self, u, lvl_i: int, bvals):
-        """L(u) with ghosts from bvals."""
-        shp, _ = self.levels[lvl_i]
-        c0, c_nb = self.ops[lvl_i]
+        """L(u) with ghosts from bvals, in f32-safe difference form
+        (see multigrid.LevelOp.apply)."""
+        c0, c_nb, c_sum = self.ops[lvl_i]
         ndim = self.ndim
         up = self._fill_ghosts(u, lvl_i, bvals)
-        out = c0 * u
+        out = c_sum * u
         for d in range(2 * ndim):
             dim, low = neighb_dim(d), neighb_low(d)
             sl = [slice(1, -1)] * ndim
             sl[dim] = slice(0, -2) if low else slice(2, None)
-            out = out + c_nb[d] * up[tuple(sl)]
+            out = out + c_nb[d] * (up[tuple(sl)] - u)
         return out
 
     def _gsrb(self, u, rhs, lvl_i: int, bvals, n_sweeps: int = 2):
         shp, _ = self.levels[lvl_i]
-        c0, c_nb = self.ops[lvl_i]
+        c0, c_nb, c_sum = self.ops[lvl_i]
         ndim = self.ndim
         xp = np if isinstance(u, np.ndarray) else jnp
         for sweep in range(2 * n_sweeps):
-            up = self._fill_ghosts(u, lvl_i, bvals)
-            offdiag = 0.0
-            for d in range(2 * ndim):
-                dim, low = neighb_dim(d), neighb_low(d)
-                sl = [slice(1, -1)] * ndim
-                sl[dim] = slice(0, -2) if low else slice(2, None)
-                offdiag = offdiag + c_nb[d] * up[tuple(sl)]
-            new = (rhs - offdiag) / c0
+            new = u + (rhs - self._apply(u, lvl_i, bvals)) / c0
             mask = self._parity_mask(shp, sweep % 2)
             u = xp.where(mask, new, u)
         return u

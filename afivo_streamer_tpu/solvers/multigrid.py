@@ -168,12 +168,22 @@ class LevelOp:
                 c_nb = new_nb
                 self.f = np.where(sel, fl.reshape(bshape), 0.0)
                 self.bc_coeff = data["bc_coeff"].reshape(bshape)
+        # difference-form sum coefficient s = c0 + sum(c_nb), computed in
+        # f64 BEFORE any f32 cast: the operator is applied as
+        #   L(phi) = sum_d c_d (phi_d - phi_0) + s phi_0
+        # which avoids the |phi|/dx^2-scale cancellation of the naive
+        # sum (in f32 the naive residual stalls ~4 orders of magnitude
+        # above the informative floor; measured on test_1d). For the
+        # constant/cyl/eps operators s = -helmholtz_lambda exactly.
+        self.c_sum = c0 + sum(c_nb)
         self.ids = np.asarray(ids, np.int32)
         if pad:
             # pad per-box coefficient rows so they align with the padded
             # level-id tables (core/treepack.py); padded rows repeat the
             # last real row (finite, only ever applied to the trash box)
-            nb = tp.bucket(len(self.ids))
+            # same bucket key as LevelTables.ids: the padded operator
+            # rows must align with the padded level-id tables
+            nb = tp.bucket_hwm(tree, ("tb", lvl, "i"), len(self.ids))
             self.ids = tp.pad_ids(self.ids, nb, trash)
             c_nb = [tp.pad_rows(c, nb) if isinstance(c, np.ndarray)
                     and c.ndim > 0 else c for c in c_nb]
@@ -185,6 +195,8 @@ class LevelOp:
             if self.veps is not None:
                 self.veps = np.concatenate(
                     [self.veps, np.zeros(nb - len(self.veps), bool)])
+            if isinstance(self.c_sum, np.ndarray) and self.c_sum.ndim > 0:
+                self.c_sum = tp.pad_rows(self.c_sum, nb)
         self.c_nb = c_nb
         self.c0 = c0
         self.per_box = ((tree.coord == "cyl") or (self.f is not None)
@@ -197,7 +209,7 @@ class LevelOp:
         precomputed per epoch in core.treepack.LevelTables so the traced
         path never needs a host-side search)."""
         if not self.per_box:
-            return self.c0, self.c_nb, None
+            return self.c0, self.c_nb, None, self.c_sum
         pos = sp.aix(pos)
         def sub(x):
             return x[pos] if (isinstance(x, np.ndarray) or not
@@ -205,7 +217,8 @@ class LevelOp:
         f = None
         if self.f is not None:
             f = self.f[pos] * self.bc_coeff[pos]
-        return sub(self.c0), [sub(c) for c in self.c_nb], f
+        return sub(self.c0), [sub(c) for c in self.c_nb], f, \
+            sub(self.c_sum)
 
     def bc_corr(self, phi_b, pos=None):
         """Boundary-correction term f * bc_coeff * phi_b, or 0.0."""
@@ -226,19 +239,23 @@ class LevelOp:
 
     def apply(self, B, nc: int, ndim: int, pos=None, phi_b=0.0):
         """L(phi) - bc_correction on the interior: [n] + [nc]^ndim
-        (stencil_apply_357 subtracts the boundary correction)."""
+        (stencil_apply_357 subtracts the boundary correction).
+
+        Difference form (see ``c_sum``): the naive sum cancels terms of
+        magnitude |phi|/dr^2 down to the much smaller rhs, which in f32
+        leaves a residual floor ~4 orders of magnitude too high."""
         if pos is None:
-            c0, c_nb = self.c0, self.c_nb
+            c_nb, c_sum = self.c_nb, self.c_sum
             corr = self.bc_corr(phi_b)
         else:
-            c0, c_nb, f = self._select(pos)
+            _, c_nb, f, c_sum = self._select(pos)
             corr = self._cst(f, B) * phi_b if f is not None else 0.0
-        out = self._cst(c0, B) * B[
-            (slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        B0 = B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        out = self._cst(c_sum, B) * B0
         for d in range(2 * ndim):
             delta = -1 if d % 2 == 0 else 1
-            out = out + self._cst(c_nb[d], B) * _shift(B, d // 2, delta,
-                                                       nc, ndim)
+            out = out + self._cst(c_nb[d], B) * (
+                _shift(B, d // 2, delta, nc, ndim) - B0)
         return out - self._cst(corr, B) if not np.isscalar(corr) else \
             out - corr
 
@@ -247,20 +264,17 @@ class LevelOp:
         """One half red-black sweep; returns updated interior. The rhs is
         augmented with the boundary correction (stencil_gsrb_357). An
         explicit parity mask can be passed (used by the lax.scan smoother
-        where the parity is a traced value)."""
+        where the parity is a traced value).
+
+        Delta update (algebraically identical to the classic
+        ``(R - offdiag)/c0``): phi0 + (R - L(phi))/c0 with L in
+        difference form, which is f32-safe (see ``apply``)."""
         xp = _xp(B) if not isinstance(B, np.ndarray) else np
-        offdiag = 0.0
-        for d in range(2 * ndim):
-            delta = -1 if d % 2 == 0 else 1
-            offdiag = offdiag + self._cst(self.c_nb[d], B) * _shift(
-                B, d // 2, delta, nc, ndim)
-        new = ((R_int + self._cst(self.bc_corr(phi_b), B) - offdiag)
-               / self._cst(self.c0, B)) if not np.isscalar(self.c0) or \
-            not np.isscalar(self.bc_corr(phi_b)) else \
-            (R_int + self.bc_corr(phi_b) - offdiag) / self.c0
+        lphi = self.apply(B, nc, ndim, phi_b=phi_b)
+        old = B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
+        new = old + (R_int - lphi) / self._cst(self.c0, B)
         if mask is None:
             mask = _parity_mask(ndim, nc, redblack)
-        old = B[(slice(None),) + tuple([slice(1, nc + 1)] * ndim)]
         return xp.where(mask[None], new, old)
 
 
@@ -288,6 +302,7 @@ class Multigrid:
         # topology read below comes from the traced jit arguments
         self._pack = None
         self._pack_ops = None
+        self._pack_sm = None
         self._jit_units: Dict = {}
 
     # ----------------------------------------------------------- plumbing
@@ -437,6 +452,40 @@ class Multigrid:
             phi_l, _ = jax.lax.scan(body, phi_l, masks)
             cc = cc.at[self.i_phi, idsj].set(
                 phi_l.reshape(len(ids), -1))
+            if up_cycle:
+                # corner ghosts stored on the final upward half sweep
+                cc = gc.fill_corners_lvl(cc, plan, [self.i_phi])
+            return cc
+
+        # pack-mode Pallas fast path (2D): same fused kernels, with the
+        # neighbor-row/ghost-weight tables as *runtime* pack arguments so
+        # refinement epochs with equal bucket shapes reuse the kernels
+        sm = (self._pack_sm[lvl - 1]
+              if self._pack is not None and self._pack_sm is not None
+              else None)
+        if sm is not None and (interp or (
+                cc.dtype == jnp.float32
+                and jax.default_backend() == "tpu"
+                and os.environ.get("AFIVO_PALLAS", "1") != "0")):
+            plan = self._gc_plan(lvl)
+            tb = self._tb(lvl)
+            A, R_blk = sm.build_consts(cc, self.i_phi, self.i_rhs, plan,
+                                       tb, op, self.sides_bc, params)
+            cs = sm.make_cs(op, cc.dtype)
+            C = nc + 2
+            idsj = jnp.asarray(sp.aix(tb.ids))
+            phi_l = cc[self.i_phi, idsj].reshape((sm.n,) + (C,) * ndim)
+            masks = jnp.asarray(np.stack(
+                [_parity_mask(ndim, nc, nn).astype(np.float32)
+                 for nn in range(1, n_half + 1)]))
+
+            def pbody(p_l, mask):
+                p_l = sm.sweep(p_l, R_blk, mask, cs, interpret=interp)
+                p_l = sm.fill(p_l, A, interpret=interp)
+                return p_l, None
+
+            phi_l, _ = jax.lax.scan(pbody, phi_l, masks)
+            cc = cc.at[self.i_phi, idsj].set(phi_l.reshape(sm.n, -1))
             if up_cycle:
                 # corner ghosts stored on the final upward half sweep
                 cc = gc.fill_corners_lvl(cc, plan, [self.i_phi])
@@ -665,24 +714,48 @@ class Multigrid:
         return cc
 
     # ---------------------------------------------------- field utilities
+    def _all_level_ids(self):
+        """Concatenated per-level id tables + per-box 1/dr factors.
+
+        One table for the whole tree turns per-level gradient/norm loops
+        into a single gather/compute/scatter per dimension — at 9 AMR
+        levels this removes ~90% of the kernel launches of the
+        latency-bound from_potential path on TPU. Per-level segment
+        lengths are static per epoch shape (bucketed), and dr depends
+        only on the level number, so the 1/dr vector is a compile-time
+        constant even when the id tables are runtime pack arguments."""
+        t = self.tree
+        n_lvls = self._n_levels()
+        per_lvl = [sp.aix(self._tb(l).ids) for l in range(1, n_lvls + 1)]
+        if isinstance(per_lvl[0], np.ndarray):
+            ids = np.concatenate(per_lvl)
+        else:
+            ids = jnp.concatenate(per_lvl)
+        inv_dr = np.concatenate([
+            np.repeat(1.0 / np.asarray(t.lvl_dr(l), np.float64)[None, :],
+                      len(per_lvl[l - 1]), axis=0)
+            for l in range(1, n_lvls + 1)])  # [N, ndim]
+        return ids, inv_dr
+
     def compute_phi_gradient(self, cc, fc, i_fc: int, fac: float):
         """fc = fac * grad(phi) on all boxes (mg_compute_phi_gradient /
         mg_box_lpl_gradient, ``m_af_multigrid.f90:1837-1974``)."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        for lvl in range(1, self._n_levels() + 1):
-            ids = sp.aix(self._tb(lvl).ids)
-            dr = t.lvl_dr(lvl)
-            B = blocks(cc, self.i_phi, ids, nc, ndim)
-            for d in range(ndim):
-                inv_dr = float(fac) / float(dr[d])
-                lo = [slice(0, nc + 1) if k == d else slice(1, nc + 1)
-                      for k in range(ndim)]
-                hi = [slice(1, nc + 2) if k == d else slice(1, nc + 1)
-                      for k in range(ndim)]
-                g = inv_dr * (B[(slice(None),) + tuple(hi)]
-                              - B[(slice(None),) + tuple(lo)])
-                fc = ro.fc_set_faces(fc, i_fc, d, ids, g, nc, ndim)
+        ids, inv_dr = self._all_level_ids()
+        if not isinstance(cc, np.ndarray):
+            inv_dr = inv_dr.astype(cc.dtype)
+        B = blocks(cc, self.i_phi, ids, nc, ndim)
+        bshape = (slice(None),) + (None,) * ndim
+        for d in range(ndim):
+            lo = [slice(0, nc + 1) if k == d else slice(1, nc + 1)
+                  for k in range(ndim)]
+            hi = [slice(1, nc + 2) if k == d else slice(1, nc + 1)
+                  for k in range(ndim)]
+            g = (float(fac) * inv_dr[:, d][bshape]
+                 * (B[(slice(None),) + tuple(hi)]
+                    - B[(slice(None),) + tuple(lo)]))
+            fc = ro.fc_set_faces(fc, i_fc, d, ids, g, nc, ndim)
         return fc
 
     def compute_field_norm(self, cc, fc, i_fc: int, i_norm: int):
@@ -690,20 +763,19 @@ class Multigrid:
         ``m_af_multigrid.f90:1995-2025``): average of the two faces."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        for lvl in range(1, self._n_levels() + 1):
-            ids = sp.aix(self._tb(lvl).ids)
-            acc = 0.0
-            for d in range(ndim):
-                F = ro.fc_get_faces(fc, i_fc, d, ids, nc, ndim)
-                sl_lo = [slice(0, nc) if k == d else slice(None)
-                         for k in range(ndim)]
-                sl_hi = [slice(1, nc + 1) if k == d else slice(None)
-                         for k in range(ndim)]
-                acc = acc + (F[(slice(None),) + tuple(sl_lo)]
-                             + F[(slice(None),) + tuple(sl_hi)]) ** 2
-            xp = np if isinstance(cc, np.ndarray) else jnp
-            norm = 0.5 * xp.sqrt(acc)
-            cc = scatter_interior(cc, i_norm, ids, norm, nc, ndim)
+        ids, _ = self._all_level_ids()
+        acc = 0.0
+        for d in range(ndim):
+            F = ro.fc_get_faces(fc, i_fc, d, ids, nc, ndim)
+            sl_lo = [slice(0, nc) if k == d else slice(None)
+                     for k in range(ndim)]
+            sl_hi = [slice(1, nc + 1) if k == d else slice(None)
+                     for k in range(ndim)]
+            acc = acc + (F[(slice(None),) + tuple(sl_lo)]
+                         + F[(slice(None),) + tuple(sl_hi)]) ** 2
+        xp = np if isinstance(cc, np.ndarray) else jnp
+        norm = 0.5 * xp.sqrt(acc)
+        cc = scatter_interior(cc, i_norm, ids, norm, nc, ndim)
         return cc
 
 
@@ -715,7 +787,9 @@ def _mg_jit_mixin():
 
 
 def _pack_and_ops(self, dtype=None):
-    """(EpochPack, padded LevelOps) for the current epoch."""
+    """(EpochPack, (padded LevelOps, PackSmoother tables)) for the
+    current epoch. The smoother tables feed the fused Pallas half-sweep
+    kernels in pack mode (2D; None where unsupported)."""
     pad, trash = self._jit_cfg
     pack = tp.get_epoch_pack(self.tree, pad=pad, trash=trash, dtype=dtype)
     cache = self._jit_units.setdefault("_ops_cache", {})
@@ -729,8 +803,22 @@ def _pack_and_ops(self, dtype=None):
             for l in range(1, self.tree.highest_lvl + 1))
         if dtype is not None and np.dtype(dtype) != np.float64:
             ops = tp.cast_pack_floats(ops, dtype)
-        cache["ops"] = ops
-    return pack, cache["ops"]
+        sm = None
+        if pad and self.tree.ndim == 2 and self.lsf_data is None \
+                and self.eps_data is None:
+            from ..ops.pallas_smoother import PackSmoother2D
+            sm = tuple(
+                PackSmoother2D(self.tree, l, pack.gc[l - 1],
+                               pack.tables[l - 1], self.sides_bc,
+                               self.i_phi, trash)
+                for l in range(1, self.tree.highest_lvl + 1))
+            if dtype is not None and np.dtype(dtype) != np.float64:
+                sm = tp.cast_pack_floats(sm, dtype)
+        # device-resident once per epoch (NumPy leaves in a jit argument
+        # would be re-transferred on every call)
+        cache["ops"] = jax.device_put(ops)
+        cache["sm"] = None if sm is None else jax.device_put(sm)
+    return pack, (cache["ops"], cache["sm"])
 
 
 def enable_jit(self, pad: bool = True, trash: int = 0):
@@ -750,25 +838,29 @@ def enable_jit(self, pad: bool = True, trash: int = 0):
 def _run_unit(self, name, body, cc, params, *extra):
     """Dispatch a jitted unit: body(cc, scal, *extra) with the ambient
     pack set during tracing."""
-    pack, ops = _pack_and_ops(self, dtype=cc.dtype)
+    pack, aux = _pack_and_ops(self, dtype=cc.dtype)
+    # only the scalars the field path reads: a varying key set (e.g. the
+    # integrator's dt_stiff) would change the pytree structure -> retrace
     scal = {k: v for k, v in (params or {}).items()
-            if np.ndim(v) == 0}
+            if k in ("voltage", "lsf_phi_b") and np.ndim(v) == 0}
     if name not in self._jit_units:
         mgself = self
         pad, trash = self._jit_cfg
 
-        def traced(cc, scal, pack, ops, *extra):
-            old = (mgself._pack, mgself._pack_ops)
-            mgself._pack, mgself._pack_ops = pack, ops
+        def traced(cc, scal, pack, aux, *extra):
+            ops, sm = aux
+            old = (mgself._pack, mgself._pack_ops, mgself._pack_sm)
+            mgself._pack, mgself._pack_ops, mgself._pack_sm = pack, ops, sm
             try:
                 if pad:
                     cc = cc.at[:, trash].set(0.0)
                 return body(cc, scal, *extra)
             finally:
-                mgself._pack, mgself._pack_ops = old
+                (mgself._pack, mgself._pack_ops,
+                 mgself._pack_sm) = old
 
         self._jit_units[name] = jax.jit(traced)
-    return self._jit_units[name](cc, scal, pack, ops, *extra)
+    return self._jit_units[name](cc, scal, pack, aux, *extra)
 
 
 def jit_vcycle_res(self, cc, params):
@@ -790,20 +882,22 @@ def jit_fmg_res(self, cc, params):
 
 
 def jit_max_abs_leaves(self, cc, iv: int):
-    """Masked max |cc[iv]| over leaf interiors (af_tree_maxabs_cc)."""
+    """Masked max |cc[iv]| over leaf interiors (af_tree_maxabs_cc),
+    batched over ALL levels in one gather + one reduction."""
     def body(cc, scal):
-        m = 0.0
         nc, ndim = self.tree.nc, self.tree.ndim
-        for lvl in range(1, self._n_levels() + 1):
-            tb = self._tb(lvl)
-            if tb.n_leaves == 0:
-                continue
-            B = blocks(cc, iv, tb.leaves, nc, ndim)
-            B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
-            valid = tb.leaf_valid.reshape((len(tb.leaves),) + (1,) * ndim)
-            B = jnp.where(valid > 0, jnp.abs(B), 0.0)
-            m = jnp.maximum(m, jnp.max(B))
-        return m
+        tbs = [self._tb(l) for l in range(1, self._n_levels() + 1)]
+        tbs = [t for t in tbs if len(t.leaves)]
+        if not tbs:
+            return jnp.asarray(0.0, cc.dtype)
+        leaves = jnp.concatenate([jnp.asarray(sp.aix(t.leaves))
+                                  for t in tbs])
+        valid = jnp.concatenate([jnp.asarray(t.leaf_valid) for t in tbs])
+        B = blocks(cc, iv, leaves, nc, ndim)
+        B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
+        B = jnp.where(valid.reshape((-1,) + (1,) * ndim) > 0,
+                      jnp.abs(B), 0.0)
+        return jnp.max(B)
     return self._run_unit(f"maxabs_{iv}", body, cc, None)
 
 
