@@ -328,20 +328,27 @@ class Tree:
         def bump(bid: int, val: int) -> None:
             flags[bid] = max(flags.get(bid, -10**9), val)
 
+        # vectorized pre-pass: per-box any(DO_REF)/any(KEEP_REF) (the
+        # python per-box scan below is hot at refinement epochs)
+        cf_flat = cell_flags.reshape(len(eval_ids), -1)
+        if cf_flat.min() < RM_REF or cf_flat.max() > DO_REF:
+            raise ValueError("invalid cell flags")
+        any_do = (cf_flat == DO_REF).any(axis=1)
+        any_keep = (cf_flat == KEEP_REF).any(axis=1)
+
         for n, bid in enumerate(eval_ids):
             bid = int(bid)
             cf = cell_flags[n]
-            if cf.min() < RM_REF or cf.max() > DO_REF:
-                raise ValueError("invalid cell flags")
             # cell_to_ref_flags (m_af_core.f90:1095-1148)
-            if np.any(cf == DO_REF):
+            if any_do[n]:
                 flags[bid] = DO_REF
-            elif np.any(cf == KEEP_REF):
+            elif any_keep[n]:
                 bump(bid, KEEP_REF)
             else:
                 bump(bid, RM_REF)
 
-            if ref_buffer > 0:
+            # the buffer only spreads DO_REF flags: skip boxes without any
+            if ref_buffer > 0 and any_do[n]:
                 # flag same-level neighbors whose adjacent cells are flagged
                 for off in itertools.product([-1, 0, 1], repeat=self.ndim):
                     if all(o == 0 for o in off):

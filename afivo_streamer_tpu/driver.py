@@ -486,6 +486,32 @@ class Simulation:
         self.gc_tree(np.asarray(self.all_densities), gc.RB_INTERP_LIM,
                      self.bc_species)
 
+    def jit_restrict_gc_densities(self):
+        """Device restrict + ghost fill of all densities: ONE compiled
+        dispatch over the epoch pack, so a no-change refinement epoch
+        never round-trips the full state through the host."""
+        import jax
+        from .core import treepack as tp
+        pad, trash = self.fluid._jit_cfg
+        pack = tp.get_epoch_pack(self.tree, pad=pad, trash=trash,
+                                 dtype=self.cc.dtype)
+        cache = self.__dict__.setdefault("_jit_rgc", {})
+        key = (trash, str(self.cc.dtype))
+        if key not in cache:
+            ivs = np.asarray(self.all_densities, np.int32)
+            bc = self.bc_species
+
+            def traced(cc, pack):
+                cc = cc.at[:, trash].set(0.0)
+                cc = pr.restrict_tree(cc, self.tree, ivs, pack=pack)
+                for lvl in range(1, pack.n_levels + 1):
+                    cc = gc.fill_ghosts_lvl(cc, pack.gc[lvl - 1], ivs,
+                                            gc.RB_INTERP_LIM, bc, {})
+                return cc
+
+            cache[key] = jax.jit(traced)
+        return cache[key](self.cc, pack)
+
     # ---------------------------------------------------- refinement step
     def adjust_refinement(self):
         """af_adjust_refinement + data movement for new/removed boxes."""
@@ -502,11 +528,15 @@ class Simulation:
             self.surfaces.update_after_refinement(info)
         if info.n_add == 0 and info.n_rm == 0:
             return info
+        # topology changed: the data movement below (storage growth,
+        # prolongation into new boxes) runs on the host
+        self._to_host()
         # grow storage if needed
         self.batch.cc, self.batch.fc = self.cc, self.fc
         self.batch.tree = self.tree
         if isinstance(self.cc, np.ndarray):
-            need = self.tree.highest_id
+            # rows 0..highest_id must exist
+            need = self.tree.highest_id + 1
             if need > self.cc.shape[1]:
                 grow = max(need, int(1.3 * self.cc.shape[1]))
                 cc = np.zeros((self.cc.shape[0], grow, self.cc.shape[2]))
@@ -922,8 +952,16 @@ class Simulation:
             # refinement every refine_per_steps (streamer.f90:380-411)
             t1 = _time.time()
             if self.it % self.refine_cfg.per_steps == 0:
-                self._to_host()
-                self.restrict_and_gc_densities()
+                if self._compiled_on and not isinstance(self.cc,
+                                                        np.ndarray):
+                    # device restrict/gc; the refinement flags gather
+                    # only the 2 criterion variables to the host, and
+                    # the full state moves to the host only when the
+                    # topology actually changes (adjust_refinement)
+                    self.cc = self.jit_restrict_gc_densities()
+                else:
+                    self._to_host()
+                    self.restrict_and_gc_densities()
                 if self.gasdyn is not None:
                     gv = np.asarray(self.gasdyn.gas_vars)
                     self.cc = pr.restrict_tree(self.cc, self.tree, gv)
@@ -939,9 +977,11 @@ class Simulation:
                         # re-bucket the capacity / trash row and rewire the
                         # jitted units for the new topology
                         self._enable_compiled()
+                        self._to_device()
                     self.cc, self.fc = self.field.compute(
                         self.cc, self.fc, 0, time, True)
                     if self.photoi.enabled:
+                        self._to_host()
                         self.cc = self.photoi.set_src(
                             self.cc, time - self._photoi_prev_time,
                             {"voltage": self.field.current_voltage})
@@ -978,10 +1018,17 @@ class Simulation:
     def _copy_state(self, n_states: int):
         """copy_current_state (streamer.f90:571-583)."""
         if not isinstance(self.cc, np.ndarray):
+            import jax
             src = np.asarray(self.all_densities + [self.i_phi], np.int32)
             tgt = np.asarray([iv + n_states for iv in self.all_densities]
                              + [self.i_phi + 1], np.int32)
-            self.cc = self.cc.at[tgt].set(self.cc[src])
+            if not hasattr(self, "_jit_copy_rows"):
+                # donated: the row copy aliases in place instead of
+                # materializing a second full state array per step
+                self._jit_copy_rows = jax.jit(
+                    lambda cc, s, t: cc.at[t].set(cc[s]),
+                    donate_argnums=0, static_argnums=())
+            self.cc = self._jit_copy_rows(self.cc, src, tgt)
             return
         for iv in self.all_densities:
             self.cc[iv + n_states] = self.cc[iv]
@@ -996,7 +1043,12 @@ class Simulation:
             tgt = np.asarray(self.all_densities + [self.i_phi], np.int32)
             src = np.asarray([iv + n_states for iv in self.all_densities]
                              + [self.i_phi + 1], np.int32)
-            self.cc = self.cc.at[tgt].set(self.cc[src])
+            if not hasattr(self, "_jit_copy_rows"):
+                import jax
+                self._jit_copy_rows = jax.jit(
+                    lambda cc, s, t: cc.at[t].set(cc[s]),
+                    donate_argnums=0, static_argnums=())
+            self.cc = self._jit_copy_rows(self.cc, src, tgt)
             self.cc, self.fc = self.field.jit_from_potential(
                 self.cc, self.fc, params)
             return

@@ -340,6 +340,21 @@ class FieldSolver:
         """field_compute (``m_field.f90:405-485``)."""
         t = self.tree
         xp = _xp(cc)
+        compiled_one_shot = (not isinstance(cc, np.ndarray)
+                             and getattr(self.mg, "_jit_cfg", None)
+                             is not None and have_guess)
+        if compiled_one_shot:
+            # single-dispatch path: rhs/threshold/while(vcycle)/E in one
+            # compiled unit (see jit_field_solve)
+            self.set_voltage(time)
+            params = dict(params or {})
+            params["voltage"] = self.current_voltage
+            if self.lsf_data is not None:
+                params["lsf_phi_b"] = (
+                    1.0 if getattr(self, "user_lsf_bc", None) is not None
+                    else self.current_voltage)
+            cc, fc, _res = self.jit_field_solve(cc, fc, s_in, params)
+            return cc, fc
         if not isinstance(cc, np.ndarray) and \
                 getattr(self.mg, "_jit_cfg", None) is not None:
             cc = self.jit_set_rhs(cc, s_in)
@@ -422,6 +437,69 @@ class FieldSolver:
         def body(cc, scal, fc):
             return self.from_potential(cc, fc, scal)
         return self.mg._run_unit("from_potential", body, cc, params, fc)
+
+    def jit_field_solve(self, cc, fc, s_in: int, params):
+        """The whole convergence-controlled solve as ONE compiled unit:
+        rhs assembly, residual threshold, ``lax.while_loop`` over
+        V-cycles, and E from the potential (field_compute,
+        ``m_field.f90:405-485``).
+
+        A single dispatch matters: the epoch pack has hundreds of pytree
+        leaves and per-call flattening plus the per-V-cycle host residual
+        sync dominate when the solve is split into many units (~80 ms of
+        overhead per solve measured on TPU at 18k cells)."""
+        import jax
+        from ..solvers.multigrid import blocks
+        mg = self.mg
+        st = self.st
+        conv_fac = 1e-8 if st.use_electrode else 1e-10
+        max_v = int(st.multigrid_num_vcycles)
+        rel = float(st.multigrid_max_rel_residual)
+        dlen = float(st.domain_len[self.tree.ndim - 1])
+        nc, ndim = self.tree.nc, self.tree.ndim
+
+        def body(cc, scal, fc):
+            import jax.numpy as jnp
+            cc = self.set_rhs(cc, s_in)
+            # masked max |rhs| over the leaves of all levels
+            tbs = [mg._tb(l) for l in range(1, mg._n_levels() + 1)]
+            tbs = [t for t in tbs if len(t.leaves)]
+            leaves = jnp.concatenate([jnp.asarray(sp.aix(t.leaves))
+                                      for t in tbs])
+            valid = jnp.concatenate([jnp.asarray(t.leaf_valid)
+                                     for t in tbs])
+            B = blocks(cc, self.i_rhs, leaves, nc, ndim)
+            B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
+            B = jnp.where(valid.reshape((-1,) + (1,) * ndim) > 0,
+                          jnp.abs(B), 0.0)
+            max_rhs = jnp.max(B)
+            min_dr = float(np.min(self.tree.lvl_dr(self.tree.highest_lvl)))
+            voltage = jnp.abs(jnp.asarray(scal.get("voltage", 0.0))
+                              .astype(cc.dtype))
+            thr = jnp.maximum(
+                jnp.asarray(1e-6, cc.dtype),
+                jnp.maximum(max_rhs * rel,
+                            (conv_fac / (dlen * min_dr)) * voltage))
+            phi_b = scal.get("lsf_phi_b", 0.0)
+
+            def cond(state):
+                _, res, k = state
+                return jnp.logical_and(k < max_v, res >= thr)
+
+            def wbody(state):
+                c, _, k = state
+                c = mg.fas_vcycle(c, scal, set_residual=True)
+                res = mg.max_abs_residual(c, phi_b=phi_b)
+                return (c, res.astype(cc.dtype), k + 1)
+
+            cc, res, _ = jax.lax.while_loop(
+                cond, wbody,
+                (cc, jnp.asarray(jnp.inf, cc.dtype),
+                 jnp.asarray(0, jnp.int32)))
+            cc, fc = self.from_potential(cc, fc, scal)
+            return cc, fc, res
+
+        return mg._run_unit(f"field_solve_{s_in}", body, cc, params, fc)
 
     def jit_set_rhs(self, cc, s_in: int):
         """Compiled set_rhs (one unit per temporal state index)."""

@@ -103,6 +103,27 @@ class RefineCriterion:
         self.current_electrode_dx = settings.electrode_dx
         self.time = 0.0
 
+    def _fetch_criterion(self, cc, ids, interior):
+        """Gather the two criterion variables (field norm, electrons) on
+        the leaf interiors. With a device-resident state this is ONE
+        jitted gather + one small transfer — eager per-op dispatch on the
+        TPU backend costs ~40 ms per op, so the naive two eager gathers
+        dominate the refinement epoch otherwise."""
+        if isinstance(cc, np.ndarray):
+            fld = cc[self.i_electric_fld, ids[:, None], interior[None, :]]
+            elec = cc[self.i_electron, ids[:, None], interior[None, :]]
+            return np.asarray(fld), np.asarray(elec)
+        import jax
+        if not hasattr(self, "_jit_fetch"):
+            iv2 = np.asarray([self.i_electric_fld, self.i_electron],
+                             np.int32)
+            self._jit_fetch = jax.jit(
+                lambda cc, ids, itr: cc[iv2[:, None, None],
+                                        ids[None, :, None],
+                                        itr[None, None, :]])
+        both = np.asarray(self._jit_fetch(cc, ids, interior))
+        return both[0], both[1]
+
     def cell_flags(self, cc, ids) -> np.ndarray:
         """default_refinement for the given boxes; returns flags
         [n, [nc]^ndim]."""
@@ -113,10 +134,9 @@ class RefineCriterion:
         n = len(ids)
         interior = sp.interior_flat(ndim, nc)
         shape = (n,) + (nc,) * ndim
-        fld = np.asarray(cc[self.i_electric_fld, ids[:, None],
-                            interior[None, :]]).reshape(shape)
-        elec = np.asarray(cc[self.i_electron, ids[:, None],
-                             interior[None, :]]).reshape(shape)
+        fld, elec = self._fetch_criterion(cc, ids, interior)
+        fld = fld.reshape(shape)
+        elec = elec.reshape(shape)
         gas_dens = self.gas.number_density
         fld_td = fld * uc.SI_to_Townsend / gas_dens
         if rs.use_alpha_effective:
@@ -139,20 +159,31 @@ class RefineCriterion:
                          & (max_dx.reshape(bshape) < rs.derefine_dx)
                          & (flags == KEEP_REF), RM_REF, flags)
 
-        # refine around the initial seeds (m_refine.f90:248-259)
-        if self.time < rs.init_time and self.ic is not None:
+        # refine around the initial seeds (m_refine.f90:248-259),
+        # vectorized over the flagged boxes (a python per-box loop here
+        # costs tens of ms per refinement epoch)
+        if self.time < rs.init_time and self.ic is not None \
+                and self.ic.n_cond:
+            # interior cell coordinates for all boxes: [n, nc^ndim, ndim]
+            rmin = t.box_r_min(ids)
+            drs = np.stack([t.lvl_dr(int(l)) for l in lvls])  # [n, ndim]
+            axes = np.stack(np.meshgrid(
+                *[np.arange(nc)] * ndim, indexing="ij"),
+                axis=-1).reshape(-1, ndim)  # [nc^ndim, ndim]
+            coords_all = (rmin[:, None, :]
+                          + (axes[None] + 0.5) * drs[:, None, :])
             for s in range(self.ic.n_cond):
                 w = self.ic.seed_width[s]
-                for n_i, b in enumerate(ids):
-                    if max_dx[n_i] <= rs.init_fac * w:
-                        continue
-                    coords = t.cell_coords(int(b))[
-                        (slice(1, nc + 1),) * ndim]
-                    dist = geometry.dist_line(
-                        coords.reshape(-1, ndim), self.ic.seed_r0[s],
-                        self.ic.seed_r1[s]).reshape((nc,) * ndim)
-                    flags[n_i] = np.where(
-                        dist - w < 2 * max_dx[n_i], DO_REF, flags[n_i])
+                sel = max_dx > rs.init_fac * w
+                if not sel.any():
+                    continue
+                dist = geometry.dist_line(
+                    coords_all[sel].reshape(-1, ndim),
+                    self.ic.seed_r0[s], self.ic.seed_r1[s]).reshape(
+                        (int(sel.sum()),) + (nc,) * ndim)
+                flags[sel] = np.where(
+                    dist - w < 2 * max_dx[sel].reshape((-1,) + (1,) * ndim),
+                    DO_REF, flags[sel])
 
         # refine around the electrode (m_refine.f90:262-265)
         if self.lsf_data is not None:
@@ -162,35 +193,34 @@ class RefineCriterion:
                     flags[n_i] = DO_REF
 
         # fixed refinement regions / limits (m_refine.f90:268-289)
-        for n_i, b in enumerate(ids):
-            rmin = t.box_r_min(np.asarray([int(b)]))[0]
-            rmax = rmin + t.lvl_dr(int(lvls[n_i])) * nc
-            for k in range(len(rs.regions_dr)):
-                reg_min = rs.regions_rmin.reshape(-1, ndim)
-                reg_max = rs.regions_rmax.reshape(-1, ndim)
-                if (self.time <= rs.regions_tstop[k]
-                        and max_dx[n_i] > rs.regions_dr[k]
-                        and k < reg_min.shape[0]
-                        and np.all(rmax >= reg_min[k])
-                        and np.all(rmin <= reg_max[k])):
-                    flags[n_i][(nc // 2,) * ndim] = DO_REF
-            lim_min = rs.limits_rmin.reshape(-1, ndim)
-            for k in range(len(rs.limits_dr)):
-                lim_max = rs.limits_rmax.reshape(-1, ndim)
-                if (max_dx[n_i] < 2 * rs.limits_dr[k]
-                        and k < lim_min.shape[0]
-                        and np.all(rmin >= lim_min[k])
-                        and np.all(rmax <= lim_max[k])):
-                    flags[n_i] = np.where(flags[n_i] == DO_REF, KEEP_REF,
-                                          flags[n_i])
+        if len(rs.regions_dr) or len(rs.limits_dr):
+            for n_i, b in enumerate(ids):
+                rmin = t.box_r_min(np.asarray([int(b)]))[0]
+                rmax = rmin + t.lvl_dr(int(lvls[n_i])) * nc
+                for k in range(len(rs.regions_dr)):
+                    reg_min = rs.regions_rmin.reshape(-1, ndim)
+                    reg_max = rs.regions_rmax.reshape(-1, ndim)
+                    if (self.time <= rs.regions_tstop[k]
+                            and max_dx[n_i] > rs.regions_dr[k]
+                            and k < reg_min.shape[0]
+                            and np.all(rmax >= reg_min[k])
+                            and np.all(rmin <= reg_max[k])):
+                        flags[n_i][(nc // 2,) * ndim] = DO_REF
+                lim_min = rs.limits_rmin.reshape(-1, ndim)
+                for k in range(len(rs.limits_dr)):
+                    lim_max = rs.limits_rmax.reshape(-1, ndim)
+                    if (max_dx[n_i] < 2 * rs.limits_dr[k]
+                            and k < lim_min.shape[0]
+                            and np.all(rmin >= lim_min[k])
+                            and np.all(rmax <= lim_max[k])):
+                        flags[n_i] = np.where(flags[n_i] == DO_REF,
+                                              KEEP_REF, flags[n_i])
 
-        # dx clamps (m_refine.f90:292-296)
+        # dx clamps (m_refine.f90:292-296), vectorized
         too_coarse = max_dx > rs.max_dx
-        too_fine = min_dx < 2 * rs.min_dx
-        for n_i in range(n):
-            if too_coarse[n_i]:
-                flags[n_i] = DO_REF
-            elif too_fine[n_i]:
-                flags[n_i] = np.where(flags[n_i] == DO_REF, KEEP_REF,
-                                      flags[n_i])
+        too_fine = (min_dx < 2 * rs.min_dx) & ~too_coarse
+        bsel = too_coarse.reshape(bshape)
+        flags = np.where(bsel, DO_REF, flags)
+        fsel = too_fine.reshape(bshape)
+        flags = np.where(fsel & (flags == DO_REF), KEEP_REF, flags)
         return flags
