@@ -46,11 +46,27 @@ def bucket(n: int) -> int:
 def bucket_hwm(tree, key, n: int) -> int:
     """Bucket with a per-tree high-water mark: a table that shrinks keeps
     its previous bucket, so derefinement epochs never change shapes (and
-    never recompile); only growth past the mark does."""
+    never recompile); only growth past the mark does.
+
+    Growth is SYNCHRONIZED into generations: the first table that grows
+    past its mark in an epoch doubles EVERY existing mark. Without this,
+    the dozens of per-(level, plan, direction) tables cross their own
+    power-of-two boundaries at different refinement epochs during streamer
+    growth, and every crossing changes the epoch-pack pytree shapes —
+    i.e. retraces every compiled unit. Doubling together costs at most 2x
+    padding (only ever on tables whose level is actively growing) and
+    bounds the number of full retraces per run by ~log2(total growth)."""
     hw = tree.__dict__.setdefault("_bucket_hwm", {})
-    b = max(bucket(n), hw.get(key, 0))
-    hw[key] = b
-    return b
+    b = bucket(n)
+    old = hw.get(key, 0)
+    if b > old > 0:
+        if tree.__dict__.get("_bucket_gen_epoch") != tree.epoch:
+            tree._bucket_gen_epoch = tree.epoch
+            for k in hw:
+                hw[k] = 2 * hw[k]
+            old = hw.get(key, 0)
+    hw[key] = max(b, old)
+    return hw[key]
 
 
 def pad_ids(a: np.ndarray, n_pad: int, trash: int) -> np.ndarray:
@@ -248,7 +264,12 @@ register_plan(
     LevelTables,
     dyn_fields=("ids", "leaves", "parents", "leaves_pos", "parents_pos",
                 "ids_valid", "leaf_valid", "vol", "rfac_lo", "rfac_hi"),
-    aux_fields=("lvl", "n_ids", "n_leaves", "n_parents"))
+    # the true counts must NOT be pytree aux: they change at every
+    # growth epoch, which would invalidate the jit cache (full retrace)
+    # even when the bucketed shapes are unchanged. Traced code must use
+    # shapes/validity masks only; the counts are dropped on flatten.
+    aux_fields=("lvl",),
+    drop_fields=("n_ids", "n_leaves", "n_parents"))
 
 
 def _prp_flatten(p):

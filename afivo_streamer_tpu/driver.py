@@ -439,9 +439,13 @@ class Simulation:
         # and the trash row, clearing every compiled executable.
         # highest_id + 2: the trash row must never alias a real box (with
         # +1, an exactly-power-of-two box count would put the trash row on
-        # the last real box)
-        cap = max(tp.bucket(self.tree.highest_id + 2),
-                  self.cc.shape[1] if self._compiled_on else 0)
+        # the last real box). On growth, jump straight to 2x the need:
+        # every capacity change recompiles ALL units (the trash row index
+        # is baked in), so growth events must be rare.
+        need = self.tree.highest_id + 2
+        have = self.cc.shape[1] if self._compiled_on else 0
+        cap = max(tp.bucket(need) if have == 0 or tp.bucket(need) <= have
+                  else tp.bucket(2 * need), have)
         if self.cc.shape[1] != cap:
             cc = np.zeros((self.cc.shape[0], cap, self.cc.shape[2]))
             cc[:, :min(cap, self.cc.shape[1])] = \

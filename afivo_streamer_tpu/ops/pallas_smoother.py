@@ -438,108 +438,120 @@ class PallasSmoother3D:
         return A.reshape(n, 6, nc, nc), R
 
     def sweep(self, phi3, R, mask, interpret: bool = False):
-        nc, n = self.nc, self.n
-        C = nc + 2
         cs = jnp.asarray(self.cs, phi3.dtype)
-
-        def kernel(g0, g1, g2, g3, g4, g5, g6, own_ref, cs_ref, R_ref,
-                   M_ref, o_ref):
-            B = own_ref[0]
-            c = cs_ref[0]
-            B0 = B[1:nc + 1, 1:nc + 1, 1:nc + 1]
-            # difference form, see LevelOp.c_sum / _sweep_2d
-            lphi = (c[7] * B0
-                    + c[1] * (B[0:nc, 1:nc + 1, 1:nc + 1] - B0)
-                    + c[2] * (B[2:nc + 2, 1:nc + 1, 1:nc + 1] - B0)
-                    + c[3] * (B[1:nc + 1, 0:nc, 1:nc + 1] - B0)
-                    + c[4] * (B[1:nc + 1, 2:nc + 2, 1:nc + 1] - B0)
-                    + c[5] * (B[1:nc + 1, 1:nc + 1, 0:nc] - B0)
-                    + c[6] * (B[1:nc + 1, 1:nc + 1, 2:nc + 2] - B0))
-            new = B0 + (R_ref[0] - lphi) / c[0]
-            upd = jnp.where(M_ref[...] > 0, new, B0)
-            o_ref[0] = B
-            o_ref[0, 1:nc + 1, 1:nc + 1, 1:nc + 1] = upd
-
-        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(7)]
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=7,
-                grid=(n,),
-                in_specs=[
-                    pl.BlockSpec((1, C, C, C),
-                                 lambda i, g0, *g: (g0[i], z(), z(), z())),
-                    pl.BlockSpec((1, 8, nc, nc, nc),
-                                 lambda i, *g: (i, z(), z(), z(), z())),
-                    pl.BlockSpec((1, nc, nc, nc),
-                                 lambda i, *g: (i, z(), z(), z())),
-                    pl.BlockSpec((nc, nc, nc),
-                                 lambda i, *g: (z(), z(), z())),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, C, C, C), lambda i, *g: (i, z(), z(), z())),
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, C, C, C), phi3.dtype),
-            interpret=interpret,
-        )(*gs, phi3, cs, R, mask)
+        return _sweep_3d(phi3, R, mask, self.g, cs, self.nc, self.n,
+                         interpret)
 
     def fill(self, phi3, A, interpret: bool = False):
-        nc, n = self.nc, self.n
-        C = nc + 2
         W = jnp.asarray(self.W, phi3.dtype)
-        faces = [
-            (0, True, nc, 1, 2, 0), (0, False, 1, nc, nc - 1, nc + 1),
-            (1, True, nc, 1, 2, 0), (1, False, 1, nc, nc - 1, nc + 1),
-            (2, True, nc, 1, 2, 0), (2, False, 1, nc, nc - 1, nc + 1),
-        ]
+        return _fill_3d(phi3, A, self.g, W, self.nc, self.n, interpret)
 
-        def face_slab(B, axis, row):
+
+def _sweep_3d(phi3, R, mask, g, cs, nc: int, n: int,
+              interpret: bool = False):
+    """Fused half red-black sweep over [n, C, C, C] level-local blocks
+    (3D analog of _sweep_2d; g/cs may be runtime pack tables)."""
+    C = nc + 2
+
+    def kernel(g0, g1, g2, g3, g4, g5, g6, own_ref, cs_ref, R_ref,
+               M_ref, o_ref):
+        B = own_ref[0]
+        c = cs_ref[0]
+        B0 = B[1:nc + 1, 1:nc + 1, 1:nc + 1]
+        # difference form, see LevelOp.c_sum / _sweep_2d
+        lphi = (c[7] * B0
+                + c[1] * (B[0:nc, 1:nc + 1, 1:nc + 1] - B0)
+                + c[2] * (B[2:nc + 2, 1:nc + 1, 1:nc + 1] - B0)
+                + c[3] * (B[1:nc + 1, 0:nc, 1:nc + 1] - B0)
+                + c[4] * (B[1:nc + 1, 2:nc + 2, 1:nc + 1] - B0)
+                + c[5] * (B[1:nc + 1, 1:nc + 1, 0:nc] - B0)
+                + c[6] * (B[1:nc + 1, 1:nc + 1, 2:nc + 2] - B0))
+        new = B0 + (R_ref[0] - lphi) / c[0]
+        upd = jnp.where(M_ref[...] > 0, new, B0)
+        o_ref[0] = B
+        o_ref[0, 1:nc + 1, 1:nc + 1, 1:nc + 1] = upd
+
+    gs = [jnp.asarray(g[:, k], jnp.int32) for k in range(7)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, C, C, C),
+                             lambda i, g0, *g: (g0[i], z(), z(), z())),
+                pl.BlockSpec((1, 8, nc, nc, nc),
+                             lambda i, *g: (i, z(), z(), z(), z())),
+                pl.BlockSpec((1, nc, nc, nc),
+                             lambda i, *g: (i, z(), z(), z())),
+                pl.BlockSpec((nc, nc, nc),
+                             lambda i, *g: (z(), z(), z())),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, C, C, C), lambda i, *g: (i, z(), z(), z())),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, C, C, C), phi3.dtype),
+        interpret=interpret,
+    )(*gs, phi3, cs, R, mask)
+
+
+def _fill_3d(phi3, A, g, W, nc: int, n: int, interpret: bool = False):
+    """Fused ghost exchange over [n, C, C, C] level-local blocks."""
+    C = nc + 2
+    faces = [
+        (0, True, nc, 1, 2, 0), (0, False, 1, nc, nc - 1, nc + 1),
+        (1, True, nc, 1, 2, 0), (1, False, 1, nc, nc - 1, nc + 1),
+        (2, True, nc, 1, 2, 0), (2, False, 1, nc, nc - 1, nc + 1),
+    ]
+
+    def face_slab(B, axis, row):
+        if axis == 0:
+            return B[row, 1:nc + 1, 1:nc + 1]
+        if axis == 1:
+            return B[1:nc + 1, row, 1:nc + 1]
+        return B[1:nc + 1, 1:nc + 1, row]
+
+    def kernel(g0, g1, g2, g3, g4, g5, g6, own_ref, n0, n1, n2, n3,
+               n4, n5, W_ref, A_ref, o_ref):
+        B = own_ref[0]
+        nbs = (n0[0], n1[0], n2[0], n3[0], n4[0], n5[0])
+        o_ref[0] = B
+        for d, (axis, low, nb_row, f1_row, f2_row, g_row) in \
+                enumerate(faces):
+            slab = face_slab(nbs[d], axis, nb_row)
+            f1 = face_slab(B, axis, f1_row)
+            f2 = face_slab(B, axis, f2_row)
+            w = W_ref[0, d]
+            ghost = (w[0] * slab + w[1] * f1 + w[2] * f2
+                     + A_ref[0, d])
             if axis == 0:
-                return B[row, 1:nc + 1, 1:nc + 1]
-            if axis == 1:
-                return B[1:nc + 1, row, 1:nc + 1]
-            return B[1:nc + 1, 1:nc + 1, row]
+                o_ref[0, g_row, 1:nc + 1, 1:nc + 1] = ghost
+            elif axis == 1:
+                o_ref[0, 1:nc + 1, g_row, 1:nc + 1] = ghost
+            else:
+                o_ref[0, 1:nc + 1, 1:nc + 1, g_row] = ghost
 
-        def kernel(g0, g1, g2, g3, g4, g5, g6, own_ref, n0, n1, n2, n3,
-                   n4, n5, W_ref, A_ref, o_ref):
-            B = own_ref[0]
-            nbs = (n0[0], n1[0], n2[0], n3[0], n4[0], n5[0])
-            o_ref[0] = B
-            for d, (axis, low, nb_row, f1_row, f2_row, g_row) in \
-                    enumerate(faces):
-                slab = face_slab(nbs[d], axis, nb_row)
-                f1 = face_slab(B, axis, f1_row)
-                f2 = face_slab(B, axis, f2_row)
-                w = W_ref[0, d]
-                ghost = (w[0] * slab + w[1] * f1 + w[2] * f2
-                         + A_ref[0, d])
-                if axis == 0:
-                    o_ref[0, g_row, 1:nc + 1, 1:nc + 1] = ghost
-                elif axis == 1:
-                    o_ref[0, 1:nc + 1, g_row, 1:nc + 1] = ghost
-                else:
-                    o_ref[0, 1:nc + 1, 1:nc + 1, g_row] = ghost
+    gs = [jnp.asarray(g[:, k], jnp.int32) for k in range(7)]
 
-        gs = [jnp.asarray(self.g[:, k], jnp.int32) for k in range(7)]
-        def gsel(k):
-            return lambda i, *g: (g[k][i], z(), z(), z())
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=7,
-                grid=(n,),
-                in_specs=(
-                    [pl.BlockSpec((1, C, C, C), gsel(k))
-                     for k in range(7)]
-                    + [pl.BlockSpec((1, 6, 8), lambda i, *g: (i, z(), z())),
-                       pl.BlockSpec((1, 6, nc, nc),
-                                    lambda i, *g: (i, z(), z(), z()))]),
-                out_specs=pl.BlockSpec(
-                    (1, C, C, C), lambda i, *g: (i, z(), z(), z())),
-            ),
-            out_shape=jax.ShapeDtypeStruct((n, C, C, C), phi3.dtype),
-            interpret=interpret,
-        )(*gs, phi3, phi3, phi3, phi3, phi3, phi3, phi3, W, A)
+    def gsel(k):
+        return lambda i, *g: (g[k][i], z(), z(), z())
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(n,),
+            in_specs=(
+                [pl.BlockSpec((1, C, C, C), gsel(k))
+                 for k in range(7)]
+                + [pl.BlockSpec((1, 6, 8), lambda i, *g: (i, z(), z())),
+                   pl.BlockSpec((1, 6, nc, nc),
+                                lambda i, *g: (i, z(), z(), z()))]),
+            out_specs=pl.BlockSpec(
+                (1, C, C, C), lambda i, *g: (i, z(), z(), z())),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, C, C, C), phi3.dtype),
+        interpret=interpret,
+    )(*gs, phi3, phi3, phi3, phi3, phi3, phi3, phi3, W, A)
 
 
 # ---------------------------------------------------------------------------
@@ -688,3 +700,127 @@ def _register_pack_smoother():
 
 
 _register_pack_smoother()
+
+
+class PackSmoother3D:
+    """3D analog of :class:`PackSmoother2D`: runtime neighbor-row and
+    ghost-weight tables built per epoch from the padded pack plan."""
+
+    def __init__(self, tree: Tree, lvl: int, plan, tb, bc_fn, i_phi: int,
+                 trash: int):
+        nc, ndim = tree.nc, tree.ndim
+        assert ndim == 3
+        self.nc = nc
+        ids = np.asarray(tb.ids)
+        n = len(ids)
+        self.n = n
+        pos = np.full(max(int(ids.max(initial=0)), trash) + 2, n,
+                      np.int64)
+        realm = ids != trash
+        pos[ids[realm]] = np.nonzero(realm)[0]
+
+        g = np.tile(np.arange(n + 1, dtype=np.int64)[:, None], (1, 7))
+        W = np.zeros((n + 1, 6, 8))
+        bc_recipe = []
+        rb_dirs = []
+        bc_pos = [None] * 6
+        rb_pos = [None] * 6
+        for d, p in enumerate(plan.dirs):
+            if len(p.copy_ids):
+                rows = pos[np.asarray(p.copy_ids)]
+                g[rows, 1 + d] = pos[np.asarray(p.copy_nb)]
+                W[rows, d, 0] = 1.0
+            if len(p.bc_ids):
+                bc_type, _ = bc_fn(i_phi, d, p.bc_coords, {})
+                rows = pos[np.asarray(p.bc_ids)]
+                dim, low = neighb_dim(d), neighb_low(d)
+                if bc_type == gc.BC_DIRICHLET:
+                    W[rows, d, 1] = -1.0
+                    gamma = 2.0
+                elif bc_type == gc.BC_NEUMANN:
+                    W[rows, d, 1] = 1.0
+                    gamma = (1.0 if not low else -1.0) * float(plan.dr[dim])
+                elif bc_type == gc.BC_CONTINUOUS:
+                    W[rows, d, 1] = 2.0
+                    W[rows, d, 2] = -1.0
+                    gamma = 0.0
+                elif bc_type == gc.BC_DIRICHLET_COPY:
+                    gamma = 1.0
+                else:
+                    raise ValueError("unsupported bc type")
+                bc_recipe.append((d, int(bc_type), float(gamma)))
+                bc_pos[d] = rows.astype(np.int32)
+            if len(p.rb_ids):
+                rows = pos[np.asarray(p.rb_ids)]
+                W[rows, d, 1] = 0.75
+                W[rows, d, 2] = -0.25
+                rb_dirs.append(d)
+                rb_pos[d] = rows.astype(np.int32)
+        self.g = g[:n].astype(np.int32)
+        self.W = W[:n]
+        self.bc_pos = bc_pos
+        self.rb_pos = rb_pos
+        self.bc_recipe = tuple(bc_recipe)
+        self.rb_dirs = tuple(rb_dirs)
+
+    def build_consts(self, cc, i_phi, i_rhs, plan, tb, op, bc_fn, params):
+        """A[n, 6, nc, nc] ghost constants + rhs block (3D analog of
+        PackSmoother2D.build_consts)."""
+        nc, n = self.nc, self.n
+        dtype = cc.dtype
+        A = jnp.zeros((n + 1, 6, nc * nc), dtype)
+        for d, _bc_type, gamma in self.bc_recipe:
+            if gamma == 0.0:
+                continue
+            p = plan.dirs[d]
+            _, val = bc_fn(i_phi, d, p.bc_coords, params or {})
+            nbc = len(self.bc_pos[d])
+            val = gamma * (jnp.asarray(val).astype(dtype)
+                           + jnp.zeros((nbc, nc * nc), dtype))
+            A = A.at[jnp.asarray(self.bc_pos[d]), d].add(val)
+        for d in self.rb_dirs:
+            p = plan.dirs[d]
+            tmp = cc[i_phi, jnp.asarray(sp.aix(p.rb_coarse))[:, None],
+                     jnp.asarray(sp.aix(p.rb_tmp))]
+            gci = gc._mg_rb_interp(tmp[None], 3, nc)[0]
+            A = A.at[jnp.asarray(self.rb_pos[d]), d].add(
+                (0.5 * gci).astype(dtype))
+        A = A[:n].reshape(n, 6, nc, nc)
+        interior = sp.interior_flat(3, nc)
+        ids = jnp.asarray(sp.aix(tb.ids))
+        R = cc[i_rhs, ids[:, None],
+               jnp.asarray(interior)[None, :]].reshape(n, nc, nc, nc)
+        return A, R
+
+    def make_cs(self, op, dtype):
+        """Stencil blocks [n, 8, nc, nc, nc]: c0, 6 neighbors, c_sum."""
+        n, nc = self.n, self.nc
+        cols = [jnp.broadcast_to(jnp.asarray(op.c0).astype(dtype),
+                                 (n, nc, nc, nc))]
+        for d in range(6):
+            cols.append(jnp.broadcast_to(
+                jnp.asarray(op.c_nb[d]).astype(dtype), (n, nc, nc, nc)))
+        cols.append(jnp.broadcast_to(
+            jnp.asarray(op.c_sum).astype(dtype), (n, nc, nc, nc)))
+        return jnp.stack(cols, axis=1)
+
+    def sweep(self, phi3, R, mask, cs, interpret: bool = False):
+        return _sweep_3d(phi3, R, mask, self.g, cs, self.nc, self.n,
+                         interpret)
+
+    def fill(self, phi3, A, interpret: bool = False):
+        W = jnp.asarray(self.W).astype(phi3.dtype)
+        return _fill_3d(phi3, A, self.g, W, self.nc, self.n, interpret)
+
+
+def _register_pack_smoother_3d():
+    from ..core.treepack import register_plan
+    try:
+        register_plan(PackSmoother3D,
+                      dyn_fields=("g", "W", "bc_pos", "rb_pos"),
+                      aux_fields=("nc", "n", "bc_recipe", "rb_dirs"))
+    except ValueError:
+        pass
+
+
+_register_pack_smoother_3d()

@@ -723,7 +723,7 @@ class FluidModel:
         for lvl in range(1, self._n_levels() + 1):
             tb = self._tb(lvl)
             leaves = tb.leaves
-            if tb.n_leaves == 0:
+            if len(leaves) == 0:
                 continue
             n = len(leaves)
             dr = t.lvl_dr(lvl)

@@ -535,7 +535,9 @@ class Multigrid:
         m = 0.0
         for lvl in range(1, max_lvl + 1):
             tb = self._tb(lvl)
-            if tb.n_leaves == 0:
+            # shape-based emptiness: the true counts are NOT in the
+            # traced pytree (they change every growth epoch -> retrace)
+            if len(tb.leaves) == 0:
                 continue
             res = self._residual_blocks(cc, lvl, tb.leaves, phi_b,
                                         pos=tb.leaves_pos)
@@ -804,13 +806,15 @@ def _pack_and_ops(self, dtype=None):
         if dtype is not None and np.dtype(dtype) != np.float64:
             ops = tp.cast_pack_floats(ops, dtype)
         sm = None
-        if pad and self.tree.ndim == 2 and self.lsf_data is None \
+        if pad and self.tree.ndim in (2, 3) and self.lsf_data is None \
                 and self.eps_data is None:
-            from ..ops.pallas_smoother import PackSmoother2D
+            from ..ops.pallas_smoother import (PackSmoother2D,
+                                               PackSmoother3D)
+            cls = PackSmoother2D if self.tree.ndim == 2 else PackSmoother3D
             sm = tuple(
-                PackSmoother2D(self.tree, l, pack.gc[l - 1],
-                               pack.tables[l - 1], self.sides_bc,
-                               self.i_phi, trash)
+                cls(self.tree, l, pack.gc[l - 1],
+                    pack.tables[l - 1], self.sides_bc,
+                    self.i_phi, trash)
                 for l in range(1, self.tree.highest_lvl + 1))
             if dtype is not None and np.dtype(dtype) != np.float64:
                 sm = tp.cast_pack_floats(sm, dtype)
