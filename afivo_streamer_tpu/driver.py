@@ -413,6 +413,11 @@ class Simulation:
                         den = den + out_nb
                 at_bnd = inside & (den > 0)
                 avg = num / np.maximum(den, 1)
+                import os as _os
+                if _os.environ.get("AFIVO_EMIT_SCALE"):
+                    # diagnostic knob: scale the numerical emission value
+                    # (cathode-sheath sensitivity probe, see README)
+                    avg = avg * float(_os.environ["AFIVO_EMIT_SCALE"])
                 ne_new = np.where(at_bnd, avg, ne[itr]).reshape(n, -1)
                 self.cc[self.i_electron, boxes[:, None],
                         interior[None, :]] = ne_new
