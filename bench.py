@@ -67,8 +67,21 @@ def main():
 
     sim.user.generic = per_step
 
+    # a driver-imposed timeout (SIGTERM) must still yield the JSON line:
+    # report the steady-state median over the steps completed so far
+    import signal
+
+    def _on_term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    partial = False
     t0 = time.time()
-    sim.run(end_time=end_time)
+    try:
+        sim.run(end_time=end_time)
+    except KeyboardInterrupt:
+        partial = True
     wall = time.time() - t0
 
     n_steps = sim.it
@@ -88,6 +101,8 @@ def main():
         "unit": "us/cell/step",
         "vs_baseline": round(baseline_us / us_steady, 3),
         "extra": {
+            "partial_run": partial,
+            "t_reached_ns": round(sim.global_time * 1e9, 3),
             "us_per_cell_incl_compiles": round(us_total, 4),
             "wall_s": round(wall, 1),
             "n_steps": n_steps,
