@@ -488,8 +488,12 @@ class FieldSolver:
 
             def wbody(state):
                 c, _, k = state
-                c = mg.fas_vcycle(c, scal, set_residual=True)
-                res = mg.max_abs_residual(c, phi_b=phi_b)
+                if mg.lsf_data is None and mg.eps_data is None:
+                    c = mg.fas_vcycle(c, scal, set_residual=False)
+                    c, res = mg.residual_all_levels(c, phi_b)
+                else:
+                    c = mg.fas_vcycle(c, scal, set_residual=True)
+                    res = mg.max_abs_residual(c, phi_b=phi_b)
                 return (c, res.astype(cc.dtype), k + 1)
 
             cc, res, _ = jax.lax.while_loop(

@@ -549,6 +549,59 @@ class Multigrid:
             m = xp.maximum(m, xp.max(res))
         return m
 
+    def residual_all_levels(self, cc, phi_b=0.0):
+        """Traced pack path: store rhs - L(phi) in i_tmp on ALL levels and
+        return the masked max |residual| over the leaves, as ONE batched
+        gather/stencil/scatter/reduce instead of ~10 small ops per level
+        (pack mode has no LSF/eps operators, so the only per-level data
+        are the stencil coefficients, broadcast and concatenated here)."""
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        n_lvls = self._n_levels()
+        dtype = cc.dtype
+        ids_parts = []
+        c0p, csp = [], []
+        cnbp = [[] for _ in range(2 * ndim)]
+        leaf_rows, leaf_valid = [], []
+        off = 0
+        for lvl in range(1, n_lvls + 1):
+            tb = self._tb(lvl)
+            op = self._op(lvl)
+            ids_l = jnp.asarray(sp.aix(tb.ids))
+            n_l = len(tb.ids)
+            shape = (n_l,) + (nc,) * ndim
+            ids_parts.append(ids_l)
+            c0p.append(jnp.broadcast_to(
+                jnp.asarray(op.c0).astype(dtype), shape))
+            csp.append(jnp.broadcast_to(
+                jnp.asarray(op.c_sum).astype(dtype), shape))
+            for d in range(2 * ndim):
+                cnbp[d].append(jnp.broadcast_to(
+                    jnp.asarray(op.c_nb[d]).astype(dtype), shape))
+            if len(tb.leaves):
+                leaf_rows.append(off + jnp.asarray(sp.aix(tb.leaves_pos)))
+                leaf_valid.append(jnp.asarray(tb.leaf_valid))
+            off += n_l
+        ids = jnp.concatenate(ids_parts)
+        cs = jnp.concatenate(csp)
+        cnb = [jnp.concatenate(c) for c in cnbp]
+        B = blocks(cc, self.i_phi, ids, nc, ndim)
+        R = blocks(cc, self.i_rhs, ids, nc, ndim)
+        itr = (slice(None),) + (slice(1, nc + 1),) * ndim
+        B0 = B[itr]
+        lphi = cs * B0
+        for d in range(2 * ndim):
+            delta = -1 if d % 2 == 0 else 1
+            lphi = lphi + cnb[d] * (_shift(B, d // 2, delta, nc, ndim)
+                                    - B0)
+        res = R[itr] - lphi
+        cc = scatter_interior(cc, self.i_tmp, ids, res, nc, ndim)
+        lr = jnp.concatenate(leaf_rows)
+        lv = jnp.concatenate(leaf_valid)
+        leafres = jnp.abs(res.reshape(res.shape[0], -1)[lr])
+        leafres = jnp.where(lv.reshape(-1, 1) > 0, leafres, 0.0)
+        return cc, jnp.max(leafres)
+
     def _update_coarse(self, cc, lvl: int, params):
         """FAS coarse-grid setup (update_coarse, ``:691-738``)."""
         t = self.tree
@@ -870,8 +923,12 @@ def _run_unit(self, name, body, cc, params, *extra):
 def jit_vcycle_res(self, cc, params):
     """One FAS V-cycle + masked max |residual| over the leaves."""
     def body(cc, scal):
+        phi_b = scal.get("lsf_phi_b", 0.0)
+        if self.lsf_data is None and self.eps_data is None:
+            cc = self.fas_vcycle(cc, scal, set_residual=False)
+            return self.residual_all_levels(cc, phi_b)
         cc = self.fas_vcycle(cc, scal, set_residual=True)
-        res = self.max_abs_residual(cc, phi_b=scal.get("lsf_phi_b", 0.0))
+        res = self.max_abs_residual(cc, phi_b=phi_b)
         return cc, res
     return self._run_unit("vcycle_res", body, cc, params)
 
