@@ -121,7 +121,16 @@ class RefineCriterion:
                 lambda cc, ids, itr: cc[iv2[:, None, None],
                                         ids[None, :, None],
                                         itr[None, None, :]])
-        both = np.asarray(self._jit_fetch(cc, ids, interior))
+        # pad the id list to a power-of-two bucket: the exact leaf count
+        # changes every growth epoch, and an exact-shape jitted gather
+        # would recompile each time
+        n = len(ids)
+        nb = 4
+        while nb < n:
+            nb *= 2
+        ids_p = np.full(nb, int(ids[0]), ids.dtype)
+        ids_p[:n] = ids
+        both = np.asarray(self._jit_fetch(cc, ids_p, interior))[:, :n]
         return both[0], both[1]
 
     def cell_flags(self, cc, ids) -> np.ndarray:
