@@ -97,6 +97,15 @@ def main():
                 "final_levels": int(sim.tree.highest_lvl),
                 "median_step_ms": round(float(np.median(w)) * 1e3, 1)
                 if len(w) else None,
+                # the axon tunnel injects multi-second stalls in degraded
+                # phases; the lower percentiles estimate the framework's
+                # own steady-state cost when the median is polluted
+                "p25_us_per_cell": round(
+                    float(np.percentile(w / c, 25)) * 1e6, 4)
+                if len(w) else None,
+                "p10_step_ms": round(
+                    float(np.percentile(w, 10)) * 1e3, 1)
+                if len(w) else None,
                 "setup_s": round(setup_s, 1),
                 "wc_breakdown": {k: round(v, 1)
                                  for k, v in sim.wc.items()},
