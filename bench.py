@@ -41,11 +41,13 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = "float32" if on_tpu else "float64"
     ref = "/root/reference/programs/standard_2d/tests"
-    # 3 ns covers inception + growth with real AMR; long enough for the
-    # median to be a steady-state estimate, short enough to finish even
-    # when the TPU tunnel is degraded or the compile cache is cold
+    # 2 ns covers inception + growth with real AMR (~700 adaptive
+    # steps); long enough for the median to be a steady-state estimate,
+    # short enough that a healthy-tunnel run finishes inside the
+    # watchdog window (degraded tunnel phases can stall any horizon —
+    # the watchdog below then reports the partial median)
     end_time = float(os.environ.get("BENCH_END_TIME",
-                                    "3e-9" if on_tpu else "0.5e-9"))
+                                    "2e-9" if on_tpu else "0.5e-9"))
     sim = Simulation(argv=[
         f"{ref}/test_cyl.cfg", "-ndim=2",
         f"-input_data%file={ref}/td_air_siglo_swarm.txt",
