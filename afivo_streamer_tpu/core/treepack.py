@@ -62,6 +62,10 @@ def bucket_hwm(tree, key, n: int) -> int:
     if b > old > 0:
         if tree.__dict__.get("_bucket_gen_epoch") != tree.epoch:
             tree._bucket_gen_epoch = tree.epoch
+            # generation counter: keys of the incremental per-level plan
+            # cache include it, so a synchronized doubling invalidates
+            # every cached padded plan at once (their shapes changed)
+            tree._bucket_gen = tree.__dict__.get("_bucket_gen", 0) + 1
             for k in hw:
                 hw[k] = 2 * hw[k]
             old = hw.get(key, 0)
@@ -94,6 +98,74 @@ def pad_pos(a: np.ndarray, n_pad: int, pos: int) -> np.ndarray:
     out = np.full((n_pad,) + a.shape[1:], pos, a.dtype)
     out[:len(a)] = a
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental per-level plan cache
+#
+# Refinement epochs usually touch only the finest level or two; rebuilding
+# and device_put-ing EVERY level's plans per epoch dominated refine cost
+# (45% of wall in round 2). Each plan kind is cached on the tree keyed by
+# the topology fingerprints of the levels it reads; unchanged levels reuse
+# the previous (already device-resident) plan objects.
+# ---------------------------------------------------------------------------
+def level_fingerprint(tree, lvl: int):
+    """Digest of everything plans read about one level: the id lists and
+    the per-box ix/parent/children/neighbors wiring. Unchanged levels
+    produce identical digests across epochs (box ids are stable)."""
+    if lvl < 1 or lvl > tree.highest_lvl:
+        return None
+    fps = tree.__dict__.get("_lvl_fp")
+    if fps is None or fps.get("epoch") != tree.epoch:
+        fps = {"epoch": tree.epoch}
+        tree._lvl_fp = fps
+    if lvl not in fps:
+        import hashlib
+        h = hashlib.blake2b(digest_size=16)
+        ids = np.ascontiguousarray(tree.lvl_ids[lvl - 1], np.int32)
+        h.update(ids.tobytes())
+        h.update(np.ascontiguousarray(tree.lvl_leaves[lvl - 1],
+                                      np.int32).tobytes())
+        h.update(np.ascontiguousarray(tree.lvl_parents[lvl - 1],
+                                      np.int32).tobytes())
+        for arr in (tree.ix[ids], tree.parent[ids], tree.children[ids],
+                    tree.neighbors[ids]):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        fps[lvl] = h.digest()
+    return fps[lvl]
+
+
+def cached_plan(tree, key, builder, dtype=None, device=False):
+    """Build-or-reuse one plan object keyed by topology fingerprints.
+
+    ``device=True`` stores the object device-resident (one device_put at
+    build time; cache hits re-serve the same on-device arrays with zero
+    host->device traffic)."""
+    cache = tree.__dict__.setdefault("_plan_cache", {})
+    uses = tree.__dict__.setdefault("_plan_cache_uses", {})
+    if key not in cache:
+        obj = builder()
+        if dtype is not None and np.dtype(dtype) != np.float64:
+            obj = cast_pack_floats(obj, dtype)
+        if device:
+            obj = jax.device_put(obj)
+        cache[key] = obj
+    uses[key] = tree.__dict__.get("_plan_cache_tick", 0)
+    return cache[key]
+
+
+def plan_cache_tick(tree, keep: int = 8):
+    """Advance the cache clock and evict entries unused for ``keep``
+    builds (bounds device memory held by stale epochs)."""
+    tick = tree.__dict__.get("_plan_cache_tick", 0) + 1
+    tree._plan_cache_tick = tick
+    cache = tree.__dict__.get("_plan_cache")
+    uses = tree.__dict__.get("_plan_cache_uses")
+    if not cache:
+        return
+    for k in [k for k, t in uses.items() if tick - t > keep]:
+        del cache[k]
+        del uses[k]
 
 
 # ---------------------------------------------------------------------------
@@ -298,20 +370,21 @@ def _op_flatten(op):
     c0_aux = None if _is_dyn(op.c0) else float(op.c0)
     cs_dyn = op.c_sum if _is_dyn(op.c_sum) else None
     cs_aux = None if _is_dyn(op.c_sum) else float(op.c_sum)
-    children = (c0_dyn, cnb_dyn, op.f, op.bc_coeff, op.ids, cs_dyn)
-    aux = (c0_aux, cnb_aux, op.per_box,
-           None if op.veps is None else _freeze(op.veps), cs_aux)
+    # veps is a child (its per-epoch content must not bust the jit cache)
+    children = (c0_dyn, cnb_dyn, op.f, op.bc_coeff, op.ids, cs_dyn,
+                op.veps)
+    aux = (c0_aux, cnb_aux, op.per_box, cs_aux)
     return children, aux
 
 
 def _op_unflatten(aux, children):
     from ..solvers.multigrid import LevelOp
     obj = object.__new__(LevelOp)
-    c0_dyn, cnb_dyn, obj.f, obj.bc_coeff, obj.ids, cs_dyn = children
-    c0_aux, cnb_aux, obj.per_box, veps, cs_aux = aux
+    (c0_dyn, cnb_dyn, obj.f, obj.bc_coeff, obj.ids, cs_dyn,
+     obj.veps) = children
+    c0_aux, cnb_aux, obj.per_box, cs_aux = aux
     obj.c0 = c0_dyn if c0_aux is None else c0_aux
     obj.c_nb = [d if a is None else a for d, a in zip(cnb_dyn, cnb_aux)]
-    obj.veps = None if veps is None else _thaw(veps)
     obj.c_sum = cs_dyn if cs_aux is None else cs_aux
     return obj
 
@@ -435,6 +508,68 @@ def cast_pack_floats(obj, dtype):
     return jax.tree_util.tree_map(cast, obj)
 
 
+def build_epoch_pack(tree: Tree, pad: bool, trash: int, with_gc2: bool,
+                     dtype=None) -> EpochPack:
+    """Assemble an EpochPack from per-level cached plans: only levels whose
+    topology fingerprint changed since the last build are rebuilt (and, in
+    compiled mode, device_put). See :func:`cached_plan`."""
+    from ..physics.fluid import Gc2LevelPlan, build_consistent_plan
+    dkey = None if dtype is None else np.dtype(dtype).str
+    obj = None
+    for _attempt in range(2):
+        # a synchronized bucket doubling mid-build changes the shapes of
+        # every padded table; restart so one pack is one generation
+        # (doubling happens at most once per epoch, so pass 2 is stable)
+        gen0 = tree.__dict__.get("_bucket_gen", 0)
+        L = tree.highest_lvl
+        base = (pad, trash, dkey, gen0 if pad else -1)
+
+        def fp(l):
+            return level_fingerprint(tree, l)
+
+        obj = object.__new__(EpochPack)
+        obj.n_levels = L
+        obj.pad = pad
+        obj.trash = trash
+        obj.gc = [
+            cached_plan(tree, ("gc", l, fp(l - 1), fp(l)) + base,
+                        lambda l=l: gc.GcLevelPlan(tree, l, pad=pad,
+                                                   trash=trash),
+                        dtype=dtype, device=pad)
+            for l in range(1, L + 1)]
+        obj.pr = [None] + [
+            cached_plan(tree, ("pr", l, fp(l - 1), fp(l)) + base,
+                        lambda l=l: pr.ProlongRestrictPlan(
+                            tree, tree.lvl_ids[l - 1], pad=pad, trash=trash),
+                        dtype=dtype, device=pad)
+            for l in range(2, L + 1)]
+        obj.tables = [
+            cached_plan(tree, ("tb", l, fp(l)) + base,
+                        lambda l=l: LevelTables(tree, l, pad=pad,
+                                                trash=trash),
+                        dtype=dtype, device=pad)
+            for l in range(1, L + 1)]
+        obj.gc2 = None
+        obj.consistent = None
+        if with_gc2:
+            obj.gc2 = [
+                cached_plan(tree, ("gc2", l, fp(l - 1), fp(l)) + base,
+                            lambda l=l: Gc2LevelPlan(tree, l, pad=pad,
+                                                     trash=trash),
+                            dtype=dtype, device=pad)
+                for l in range(1, L + 1)]
+            cons = [
+                cached_plan(tree, ("cons", l, fp(l), fp(l + 1)) + base,
+                            lambda l=l: build_consistent_plan(
+                                tree, pad=pad, trash=trash, lvls=(l,)),
+                            dtype=dtype, device=pad)
+                for l in range(1, L)]
+            obj.consistent = [g for lst in cons for g in lst]
+        if tree.__dict__.get("_bucket_gen", 0) == gen0:
+            break
+    return obj
+
+
 def get_epoch_pack(tree: Tree, pad: bool = False, trash: int = 0,
                    with_gc2: bool = False, dtype=None) -> EpochPack:
     cache = getattr(tree, "_epoch_pack_cache", None)
@@ -443,17 +578,10 @@ def get_epoch_pack(tree: Tree, pad: bool = False, trash: int = 0,
     if cache is None or cache.get("epoch") != tree.epoch:
         cache = {"epoch": tree.epoch}
         tree._epoch_pack_cache = cache
+        plan_cache_tick(tree)
     if key not in cache:
-        pack = EpochPack(tree, pad=pad, trash=trash, with_gc2=with_gc2)
-        if dtype is not None and np.dtype(dtype) != np.float64:
-            pack = cast_pack_floats(pack, dtype)
-        if pad:
-            # compiled mode: place every table on device ONCE per epoch;
-            # NumPy leaves in a jit argument would be re-transferred
-            # host->device on every unit call (hundreds of small H2D
-            # copies per V-cycle)
-            pack = jax.device_put(pack)
-        cache[key] = pack
+        cache[key] = build_epoch_pack(tree, pad=pad, trash=trash,
+                                      with_gc2=with_gc2, dtype=dtype)
     return cache[key]
 
 

@@ -1104,9 +1104,12 @@ class FluidModel:
         return self._jit_units[key](cc, fc, dt, scal, pack)
 
 
-def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0):
+def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0,
+                          lvls=None):
     """Build the flux-matching groups (free function so the epoch pack
-    can carry them as pytree leaves; see core/treepack.py)."""
+    can carry them as pytree leaves; see core/treepack.py). ``lvls``
+    restricts to the given coarse levels (the incremental pack builder
+    caches one level's groups at a time)."""
     from ..core.treepack import (ConsistentGroup, bucket_hwm,
                                  pad_ids, pad_rows)
     if True:
@@ -1114,7 +1117,7 @@ def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0):
         nc, ndim = t.nc, t.ndim
         hnc = nc // 2
         groups = []  # (d, coarse_ids[], fine_ids[], tgt_fidx, src lists, cylw)
-        for lvl in range(1, t.highest_lvl):
+        for lvl in (range(1, t.highest_lvl) if lvls is None else lvls):
             for p_id in t.lvl_parents[lvl - 1]:
                 for d in range(2 * ndim):
                     nb = int(t.neighbors[p_id, d])
