@@ -542,7 +542,11 @@ def fill_ghosts_lvl(cc, plan: GcLevelPlan, ivs, rb_method: str, bc_fn,
                 ghost = _gat(cc, ivs, p.rb_parent, p.rb_pcopy)
             else:
                 raise ValueError(f"unknown rb method {rb_method}")
-            if extrap_mask is not None and extrap_mask.any():
+            if extrap_mask is not None and (
+                    not isinstance(extrap_mask, np.ndarray)
+                    or extrap_mask.any()):
+                # traced masks (pack mode) cannot be inspected with .any();
+                # compute both schemes and where-select
                 ghost_e = _rb_extrap_ghost(cc, ivs, p, plan)
                 xp = _xp(cc)
                 ghost = xp.where(extrap_mask[None, :, None], ghost_e, ghost)

@@ -340,7 +340,27 @@ class Simulation:
             self.cc[self.i_lsf, int(b)] = self.field.lsf_data.lsf(
                 coords.reshape(-1, self.ndim))
 
-    def _level_mask(self, lvl):
+    def _level_mask(self, cc, lvl, leaves):
+        """Cell mask for the fluid update (set_box_mask,
+        m_fluid.f90:469-515). Host path: precomputed per epoch. Traced
+        (compiled) path: derived in-trace from the lsf/eps cc variables,
+        so the same jit executable stays correct across epochs."""
+        if not isinstance(cc, np.ndarray):
+            import jax.numpy as jnp
+            nc, ndim = self.tree.nc, self.tree.ndim
+            interior = jnp.asarray(sp.interior_flat(ndim, nc))
+            lv = jnp.asarray(sp.aix(leaves))
+            mask = jnp.ones((len(leaves), nc ** ndim), bool)
+            if self.st.use_electrode and self.i_lsf >= 0:
+                lsf_in = cc[self.i_lsf, lv[:, None], interior[None, :]]
+                mask = mask & (lsf_in > 0.0)
+            if self.st.use_dielectric and self.i_eps >= 0:
+                eps_in = cc[self.i_eps, lv[:, None], interior[None, :]]
+                mask = mask & (jnp.abs(eps_in - 1.0) <= 1e-10)
+            return mask
+        return self._level_mask_host(lvl)
+
+    def _level_mask_host(self, lvl):
         """Cell mask for the fluid update (set_box_mask)."""
         key = (self.tree.epoch, lvl)
         if key in self._mask_cache:
@@ -427,19 +447,102 @@ class Simulation:
                         interior[None, :]] = np.where(
                             at_bnd.reshape(n, -1), ne_new, ni)
 
+    def _electrode_bnd_boxes(self, lvl, trash):
+        """Padded id table of the boxes containing the electrode boundary
+        at one level (for the compiled electrode_species_bc unit)."""
+        from .core import treepack as tp
+        data = self.field.lsf_data.level_data(lvl)
+        boxes = data["ids"][np.nonzero(data["has_bnd"])[0]].astype(np.int32)
+        nb = tp.bucket_hwm(self.tree, ("ebnd", lvl), len(boxes))
+        return tp.pad_ids(boxes, nb, trash)
+
+    def _jit_electrode_densities(self):
+        """Compiled electrode_species_bc (streamer.f90:520-569): zero
+        densities inside the electrode; for Neumann species BCs set the
+        boundary-cell electron density to the average of the neighbors
+        outside. The per-level boundary-box tables are runtime jit
+        arguments (fingerprint-cached, device-resident); the lsf values
+        are read in-trace from the i_lsf cc variable."""
+        import os as _os
+        import jax
+        import jax.numpy as jnp
+        from .core import treepack as tp
+        t = self.tree
+        pad, trash = self.fluid._jit_cfg
+        gen = t.__dict__.get("_bucket_gen", 0)
+        tables = tuple(
+            tp.cached_plan(
+                t, ("ebnd", l, tp.level_fingerprint(t, l), trash, gen),
+                lambda l=l: self._electrode_bnd_boxes(l, trash),
+                device=True)
+            for l in range(1, t.highest_lvl + 1))
+        cache = self.__dict__.setdefault("_jit_edens", {})
+        key = (trash, str(self.cc.dtype))
+        if key not in cache:
+            nc, ndim = t.nc, t.ndim
+            interior = sp.interior_flat(ndim, nc)
+            ivs = tuple(int(v) for v in self.all_densities)
+            neumann = self.st.species_boundary_condition == "neumann_zero"
+            emit_scale = float(_os.environ.get("AFIVO_EMIT_SCALE", "1.0"))
+            i_lsf, i_e, i_ip = self.i_lsf, self.i_electron, self.i_1pos_ion
+
+            def traced(cc, tables):
+                cc = cc.at[:, trash].set(0.0)
+                itr = (slice(None),) + (slice(1, nc + 1),) * ndim
+                for boxes in tables:
+                    n = len(boxes)
+                    if n == 0:
+                        continue
+                    shape = (n,) + (nc + 2,) * ndim
+                    lsf_b = cc[i_lsf, boxes].reshape(shape)
+                    inside = (lsf_b[itr] < 0).reshape(n, -1)
+                    for iv in ivs:
+                        vals = cc[iv, boxes[:, None], interior[None, :]]
+                        cc = cc.at[iv, boxes[:, None],
+                                   interior[None, :]].set(
+                                       jnp.where(inside, 0.0, vals))
+                    if neumann:
+                        ne = cc[i_e, boxes].reshape(shape)
+                        num = jnp.zeros(ne[itr].shape, cc.dtype)
+                        den = jnp.zeros(ne[itr].shape, jnp.int32)
+                        for d in range(ndim):
+                            for delta in (-1, 1):
+                                sl = [slice(1, nc + 1)] * ndim
+                                sl[d] = slice(1 + delta, nc + 1 + delta)
+                                sl = (slice(None),) + tuple(sl)
+                                out_nb = lsf_b[sl] > 0
+                                num = num + jnp.where(out_nb, ne[sl], 0.0)
+                                den = den + out_nb
+                        at_bnd = inside & (den > 0).reshape(n, -1)
+                        avg = (num / jnp.maximum(den, 1)).reshape(n, -1)
+                        if emit_scale != 1.0:
+                            avg = avg * emit_scale
+                        ne_new = jnp.where(
+                            at_bnd, avg,
+                            cc[i_e, boxes[:, None], interior[None, :]])
+                        cc = cc.at[i_e, boxes[:, None],
+                                   interior[None, :]].set(ne_new)
+                        ni = cc[i_ip, boxes[:, None], interior[None, :]]
+                        cc = cc.at[i_ip, boxes[:, None],
+                                   interior[None, :]].set(
+                                       jnp.where(at_bnd, ne_new, ni))
+                return cc
+
+            cache[key] = jax.jit(traced)
+        self.cc = cache[key](self.cc, tables)
+
     # ------------------------------------------------- compiled engine
     def _enable_compiled(self):
         """(Re)configure the compiled engine for the current topology:
         bucket the state capacity to a power of two, reserve the last row
         as the trash box, and (re)wire the jitted units."""
         from .core import treepack as tp
-        if self.gasdyn is not None or self.st.use_electrode \
+        if self.gasdyn is not None \
                 or self.st.use_dielectric or self.st.plasma_region_enabled \
                 or self.model.has_energy_equation:
             raise ValueError(
                 "compiled%enabled does not support gas dynamics/"
-                "electrodes/dielectrics/plasma regions/energy model yet")
-        self._to_host()
+                "dielectrics/plasma regions/energy model yet")
         # capacity with hysteresis: shrinking would change the state shape
         # and the trash row, clearing every compiled executable.
         # highest_id + 2: the trash row must never alias a real box (with

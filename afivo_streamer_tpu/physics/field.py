@@ -566,22 +566,37 @@ class FieldSolver:
         fac = -1.0
         phi_b_scalar = params.get("lsf_phi_b", 0.0)
         interior = sp.interior_flat(ndim, nc)
-        for lvl in range(1, t.highest_lvl + 1):
-            data = self.lsf_data.level_data(lvl)
-            ids = data["ids"]
-            leaf_set = set(int(b) for b in t.lvl_leaves[lvl - 1])
-            sel = np.array([i for i, b in enumerate(ids)
-                            if data["has_bnd"][i] and int(b) in leaf_set],
-                           dtype=np.int64)
-            if len(sel) == 0:
-                continue
-            boxes = ids[sel]
+        pack_extras = getattr(self.mg, "_pack_extras", None)
+        n_levels = (self.mg._n_levels() if pack_extras is not None
+                    else t.highest_lvl)
+        for lvl in range(1, n_levels + 1):
+            if pack_extras is not None:
+                # compiled path: the per-epoch boundary tables are runtime
+                # jit arguments (multigrid._build_level_extras) — baking
+                # them in as constants would go stale across epochs
+                ex = pack_extras[lvl - 1]["lsf"]
+                if ex is None or len(ex["boxes"]) == 0:
+                    continue
+                boxes, dd_t, lsf_t, bcc_t = (ex["boxes"], ex["dd"],
+                                             ex["lsf_cc"], ex["bc_coeff"])
+            else:
+                data = self.lsf_data.level_data(lvl)
+                ids = data["ids"]
+                leaf_set = set(int(b) for b in t.lvl_leaves[lvl - 1])
+                sel = np.array([i for i, b in enumerate(ids)
+                                if data["has_bnd"][i]
+                                and int(b) in leaf_set], dtype=np.int64)
+                if len(sel) == 0:
+                    continue
+                boxes = ids[sel]
+                dd_t, lsf_t, bcc_t = (data["dd"][sel], data["lsf_cc"][sel],
+                                      data["bc_coeff"][sel])
             n = len(boxes)
             dr = t.lvl_dr(lvl)
             cshape = (n,) + (nc,) * ndim
-            dd = data["dd"][sel].reshape(cshape + (2 * ndim,))
-            lsf_cc = data["lsf_cc"][sel].reshape(cshape)
-            bc_val = data["bc_coeff"][sel].reshape(cshape) * phi_b_scalar
+            dd = dd_t.reshape(cshape + (2 * ndim,))
+            lsf_cc = lsf_t.reshape(cshape)
+            bc_val = bcc_t.reshape(cshape) * phi_b_scalar
             phi = cc[self.i_phi, boxes[:, None],
                      interior[None, :]].reshape(cshape)
             for d in range(ndim):

@@ -449,10 +449,9 @@ class FluidModel:
 
     # ------------------------------------------------- compiled plumbing
     def enable_jit(self, pad: bool = True, trash: int = 0):
-        if (self.dielectric is not None or self.mask_provider is not None
-                or self.idx.i_electron_energy >= 0):
+        if self.dielectric is not None or self.idx.i_electron_energy >= 0:
             raise ValueError("compiled fluid path does not support "
-                             "dielectrics/electrodes/energy model yet")
+                             "dielectrics/energy model yet")
         if self._jit_cfg != (pad, trash):
             # the trash row index is baked into the traced closures
             self._jit_units.clear()
@@ -733,7 +732,7 @@ class FluidModel:
             # inside electrodes / dielectrics / outside the plasma region
             mask = None
             if self.mask_provider is not None:
-                mask = self.mask_provider(lvl)
+                mask = self.mask_provider(cc, lvl, leaves)
 
             # weighted sum of previous states for ALL densities
             for iv in idx.all_densities:

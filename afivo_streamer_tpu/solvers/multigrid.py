@@ -303,6 +303,7 @@ class Multigrid:
         self._pack = None
         self._pack_ops = None
         self._pack_sm = None
+        self._pack_extras = None
         self._jit_units: Dict = {}
 
     # ----------------------------------------------------------- plumbing
@@ -352,7 +353,9 @@ class Multigrid:
     def _veps_mask(self, lvl: int, plan):
         veps = None
         if self._pack is not None:
-            return None  # pack mode requires eps_data None (asserted)
+            if self._pack_extras is not None:
+                return self._pack_extras[lvl - 1]["veps"]
+            return None
         if self.eps_data is not None:
             op = self._op(lvl)
             if op.veps is not None:
@@ -846,45 +849,133 @@ def _pack_and_ops(self, dtype=None):
     current epoch. The smoother tables feed the fused Pallas half-sweep
     kernels in pack mode (2D; None where unsupported)."""
     pad, trash = self._jit_cfg
-    pack = tp.get_epoch_pack(self.tree, pad=pad, trash=trash, dtype=dtype)
+    t = self.tree
+    pack = tp.get_epoch_pack(t, pad=pad, trash=trash, dtype=dtype)
     cache = self._jit_units.setdefault("_ops_cache", {})
     dkey = None if dtype is None else np.dtype(dtype).str
-    if cache.get("key") != (self.tree.epoch, dkey):
+    if cache.get("key") != (t.epoch, dkey):
         cache.clear()
-        cache["key"] = (self.tree.epoch, dkey)
+        cache["key"] = (t.epoch, dkey)
+        # per-level incremental caching (core/treepack.cached_plan): only
+        # levels whose topology changed rebuild + device_put. The lsf/eps
+        # operator contents are also topology-determined (electrode
+        # geometry is fixed; eps prolongs deterministically into new
+        # boxes), so the same fingerprint keys apply.
+        has_lsf = self.lsf_data is not None
+        has_eps = self.eps_data is not None
+        gen = t.__dict__.get("_bucket_gen", 0) if pad else -1
+        base = (pad, trash, dkey, gen, float(self.lam), has_lsf, has_eps)
+        fp = tp.level_fingerprint
+        L = t.highest_lvl
         ops = tuple(
-            LevelOp(self.tree, l, self.lam, self.lsf_data, self.eps_data,
-                    pad=pad, trash=trash)
-            for l in range(1, self.tree.highest_lvl + 1))
-        if dtype is not None and np.dtype(dtype) != np.float64:
-            ops = tp.cast_pack_floats(ops, dtype)
+            tp.cached_plan(
+                t, ("mgop", l, fp(t, l)) + base,
+                lambda l=l: LevelOp(t, l, self.lam, self.lsf_data,
+                                    self.eps_data, pad=pad, trash=trash),
+                dtype=dtype, device=True)
+            for l in range(1, L + 1))
         sm = None
-        if pad and self.tree.ndim in (2, 3) and self.lsf_data is None \
-                and self.eps_data is None:
+        if pad and t.ndim in (2, 3) and not (has_lsf or has_eps):
             from ..ops.pallas_smoother import (PackSmoother2D,
                                                PackSmoother3D)
-            cls = PackSmoother2D if self.tree.ndim == 2 else PackSmoother3D
+            cls = PackSmoother2D if t.ndim == 2 else PackSmoother3D
+            # the smoother tables derive from the gc plan + level tables;
+            # the builder re-creates host versions (the pack's are already
+            # on device), which only runs for changed levels
+            smbase = base + (self.i_phi, id(self.sides_bc))
             sm = tuple(
-                cls(self.tree, l, pack.gc[l - 1],
-                    pack.tables[l - 1], self.sides_bc,
-                    self.i_phi, trash)
-                for l in range(1, self.tree.highest_lvl + 1))
-            if dtype is not None and np.dtype(dtype) != np.float64:
-                sm = tp.cast_pack_floats(sm, dtype)
-        # device-resident once per epoch (NumPy leaves in a jit argument
-        # would be re-transferred on every call)
-        cache["ops"] = jax.device_put(ops)
-        cache["sm"] = None if sm is None else jax.device_put(sm)
-    return pack, (cache["ops"], cache["sm"])
+                tp.cached_plan(
+                    t, ("mgsm", l, fp(t, l - 1), fp(t, l)) + smbase,
+                    lambda l=l: cls(
+                        t, l, gc.GcLevelPlan(t, l, pad=pad, trash=trash),
+                        tp.LevelTables(t, l, pad=pad, trash=trash),
+                        self.sides_bc, self.i_phi, trash),
+                    dtype=dtype, device=True)
+                for l in range(1, L + 1))
+        extras = None
+        if has_lsf or has_eps:
+            extras = tuple(
+                tp.cached_plan(
+                    t, ("mgex", l, fp(t, l)) + base,
+                    lambda l=l: _build_level_extras(self, l, pad, trash),
+                    dtype=dtype, device=True)
+                for l in range(1, L + 1))
+        cache["ops"] = ops
+        cache["sm"] = sm
+        cache["extras"] = extras
+    return pack, (cache["ops"], cache["sm"], cache["extras"])
+
+
+def _build_level_extras(self, lvl: int, pad: bool, trash: int):
+    """Per-epoch lsf/eps side tables carried as *runtime* jit arguments
+    (baking them into the trace as constants would go stale when the
+    topology changes under a cached executable):
+
+    * ``veps``: per-direction refinement-boundary masks selecting the
+      extrapolating ghost scheme for variable-eps boxes (mg_auto_rb ->
+      mg_sides_rb_extrap, ``m_af_multigrid.f90:468-621``)
+    * ``lsf``: boundary-distance tables of the leaf boxes containing the
+      electrode boundary, for the one-sided E-gradient correction
+      (mg_box_lpllsf_gradient, ``:2030-2122``)
+    """
+    t = self.tree
+    out = {"veps": None, "lsf": None}
+    if self.eps_data is not None:
+        op = LevelOp(t, lvl, self.lam, None, self.eps_data)
+        if op.veps is not None:
+            plan = gc.GcLevelPlan(t, lvl)  # unpadded host plan
+            pos = {int(b): k for k, b in enumerate(op.ids)}
+            veps = {}
+            for d, pd in enumerate(plan.dirs):
+                m = (np.array([op.veps[pos[int(b)]] for b in pd.rb_ids])
+                     if len(pd.rb_ids) else np.zeros(0, bool))
+                if pad:
+                    nb = tp.bucket_hwm(t, ("gc", lvl, d, "r"), len(m))
+                    mm = np.zeros(nb, bool)
+                    mm[:len(m)] = m
+                    m = mm
+                veps[d] = m
+            out["veps"] = veps
+    if self.lsf_data is not None:
+        data = self.lsf_data.level_data(lvl)
+        ids = data["ids"]
+        leaf_set = set(int(b) for b in t.lvl_leaves[lvl - 1])
+        sel = np.array([i for i, b in enumerate(ids)
+                        if data["has_bnd"][i] and int(b) in leaf_set],
+                       np.int64)
+        boxes = ids[sel].astype(np.int32)
+        dd = data["dd"][sel]
+        lsf_cc = data["lsf_cc"][sel]
+        bc_coeff = data["bc_coeff"][sel]
+        valid = np.ones(len(sel))
+        if pad:
+            nb = tp.bucket_hwm(t, ("lsfg", lvl), len(sel))
+            boxes = tp.pad_ids(boxes, nb, trash)
+            # padded rows: distance 1 (= no boundary) masks them out
+            dd = np.concatenate(
+                [dd, np.ones((nb - len(sel),) + dd.shape[1:])]) \
+                if nb > len(sel) else dd
+            lsf_cc = np.concatenate(
+                [lsf_cc, -np.ones((nb - len(sel),) + lsf_cc.shape[1:])]) \
+                if nb > len(sel) else lsf_cc
+            bc_coeff = np.concatenate(
+                [bc_coeff, np.zeros((nb - len(sel),) + bc_coeff.shape[1:])]) \
+                if nb > len(sel) else bc_coeff
+            v = np.zeros(nb)
+            v[:len(sel)] = 1.0
+            valid = v
+        out["lsf"] = dict(boxes=boxes, dd=dd, lsf_cc=lsf_cc,
+                          bc_coeff=bc_coeff, valid=valid)
+    return out
 
 
 def enable_jit(self, pad: bool = True, trash: int = 0):
     """Route device-array cycle calls through jitted units that take the
     epoch pack as a runtime argument: refinement epochs whose bucketed
-    table shapes match reuse the compiled executables (no retrace)."""
-    if self.lsf_data is not None or self.eps_data is not None:
-        raise ValueError("compiled multigrid path supports the constant/"
-                         "cylindrical operator only (no LSF/eps yet)")
+    table shapes match reuse the compiled executables (no retrace).
+    Supports the constant/cylindrical/variable-eps/LSF operators; the
+    per-epoch lsf/eps data rides along as runtime arguments (see
+    _build_level_extras)."""
     if getattr(self, "_jit_cfg", None) != (pad, trash):
         # the trash row index is baked into the traced closures
         self._jit_units.clear()
@@ -905,16 +996,18 @@ def _run_unit(self, name, body, cc, params, *extra):
         pad, trash = self._jit_cfg
 
         def traced(cc, scal, pack, aux, *extra):
-            ops, sm = aux
-            old = (mgself._pack, mgself._pack_ops, mgself._pack_sm)
-            mgself._pack, mgself._pack_ops, mgself._pack_sm = pack, ops, sm
+            ops, sm, extras = aux
+            old = (mgself._pack, mgself._pack_ops, mgself._pack_sm,
+                   mgself._pack_extras)
+            (mgself._pack, mgself._pack_ops, mgself._pack_sm,
+             mgself._pack_extras) = pack, ops, sm, extras
             try:
                 if pad:
                     cc = cc.at[:, trash].set(0.0)
                 return body(cc, scal, *extra)
             finally:
-                (mgself._pack, mgself._pack_ops,
-                 mgself._pack_sm) = old
+                (mgself._pack, mgself._pack_ops, mgself._pack_sm,
+                 mgself._pack_extras) = old
 
         self._jit_units[name] = jax.jit(traced)
     return self._jit_units[name](cc, scal, pack, aux, *extra)
