@@ -270,8 +270,12 @@ class Simulation:
         self.global_JdotE = 0.0
         self.global_JdotE_current = 0.0
         self.global_displ_current = 0.0
-        self.wc = {k: 0.0 for k in ("flux", "source", "copy", "field",
-                                    "output", "refine", "photoi")}
+        # compiled runs attribute the fused flux+chemistry+update substep
+        # dispatch to "advance" (the host path splits flux/source like the
+        # reference, m_streamer.f90:181-187); timing boundaries block on
+        # the device result so every bucket is real device time
+        self.wc = {k: 0.0 for k in ("flux", "source", "advance", "copy",
+                                    "field", "output", "refine", "photoi")}
         self.fluid.wc = self.wc
         self._photoi_prev_time = 0.0
         self.refine_prepulse_time = cfg.add_get(
@@ -555,19 +559,32 @@ class Simulation:
         cap = max(tp.bucket(need) if have == 0 or tp.bucket(need) <= have
                   else tp.bucket(2 * need), have)
         if self.cc.shape[1] != cap:
-            cc = np.zeros((self.cc.shape[0], cap, self.cc.shape[2]))
-            cc[:, :min(cap, self.cc.shape[1])] = \
-                self.cc[:, :min(cap, self.cc.shape[1])]
-            self.cc = cc
-            fshape = list(self.fc.shape)
-            fshape[2] = cap
-            fcn = np.zeros(fshape)
-            fcn[:, :, :min(cap, self.fc.shape[2])] = \
-                self.fc[:, :, :min(cap, self.fc.shape[2])]
-            self.fc = fcn
+            if isinstance(self.cc, np.ndarray):
+                cc = np.zeros((self.cc.shape[0], cap, self.cc.shape[2]))
+                cc[:, :min(cap, self.cc.shape[1])] = \
+                    self.cc[:, :min(cap, self.cc.shape[1])]
+                self.cc = cc
+                fshape = list(self.fc.shape)
+                fshape[2] = cap
+                fcn = np.zeros(fshape)
+                fcn[:, :, :min(cap, self.fc.shape[2])] = \
+                    self.fc[:, :, :min(cap, self.fc.shape[2])]
+                self.fc = fcn
+            else:
+                # device state stays on device: capacity growth is one
+                # padded copy (cap = max(..., have) never shrinks here)
+                import jax.numpy as jnp
+                grow = cap - self.cc.shape[1]
+                self.cc = jnp.pad(self.cc, ((0, 0), (0, grow), (0, 0)))
+                self.fc = jnp.pad(self.fc,
+                                  ((0, 0), (0, 0), (0, grow), (0, 0)))
         trash = cap - 1
         self.field.mg.enable_jit(pad=True, trash=trash)
         self.fluid.enable_jit(pad=True, trash=trash)
+        # Helmholtz photoionization solves run inside the compiled step
+        # (per-mode lambda^2 multigrid); Monte-Carlo stays on the host
+        self._photoi_compiled = self.photoi.enable_jit(pad=True,
+                                                       trash=trash)
         self._compiled_on = True
 
     def _to_device(self):
@@ -624,6 +641,48 @@ class Simulation:
             cache[key] = jax.jit(traced)
         return cache[key](self.cc, pack)
 
+    def _prolong_new_boxes_device(self, info):
+        """Device-side auto_prolong: fill newly added boxes by prolongation
+        and refresh the ghost layers of their levels, through ONE jitted
+        unit per level (the host-path equivalent lives in
+        adjust_refinement below; af_adjust_refinement auto_prolong,
+        m_af_core.f90:843-881)."""
+        import jax
+        from .core import treepack as tp
+        pad, trash = self.fluid._jit_cfg
+        dtype = self.cc.dtype
+        pack = tp.get_epoch_pack(self.tree, pad=True, trash=trash,
+                                 dtype=dtype)
+        cache = self.__dict__.setdefault("_jit_pn", {})
+        key = (trash, str(dtype))
+        if key not in cache:
+            # group variables by method so the traced body is static
+            by_m = {}
+            for iv in self.registry.auto_vars:
+                m = self.registry.methods[iv]
+                k = (m["prolong"], m["rb"], id(m["bc"]))
+                by_m.setdefault(k, (m, []))[1].append(iv)
+            groups = tuple((m, tuple(ivs)) for m, ivs in by_m.values())
+
+            def traced(cc, plan, gplan, scal):
+                cc = cc.at[:, trash].set(0.0)
+                for m, ivs in groups:
+                    cc = pr.prolong(cc, plan, list(ivs), m["prolong"])
+                for m, ivs in groups:
+                    cc = gc.fill_ghosts_lvl(cc, gplan, list(ivs), m["rb"],
+                                            m["bc"], scal)
+                return cc
+
+            cache[key] = jax.jit(traced)
+        scal = {"voltage": float(self.field.current_voltage)}
+        for lvl in sorted(info.added_per_lvl):
+            ids = info.added_per_lvl[lvl]
+            plan = pr.ProlongRestrictPlan(self.tree, ids, pad=True,
+                                          trash=trash)
+            if np.dtype(dtype) != np.float64:
+                plan = tp.cast_pack_floats(plan, dtype)
+            self.cc = cache[key](self.cc, plan, pack.gc[lvl - 1], scal)
+
     # ---------------------------------------------------- refinement step
     def adjust_refinement(self):
         """af_adjust_refinement + data movement for new/removed boxes."""
@@ -639,6 +698,16 @@ class Simulation:
         if self.surfaces is not None and (info.n_add or info.n_rm):
             self.surfaces.update_after_refinement(info)
         if info.n_add == 0 and info.n_rm == 0:
+            return info
+        if (self._compiled_on and not isinstance(self.cc, np.ndarray)
+                and self.i_lsf < 0 and self.i_gas_dens_user < 0):
+            # compiled mode: the data movement (capacity growth,
+            # prolongation into new boxes, ghost fill) stays on device —
+            # no full-state host round-trip per refinement epoch
+            self._enable_compiled()
+            self._prolong_new_boxes_device(info)
+            self.batch.cc, self.batch.fc = self.cc, self.fc
+            self.batch.tree = self.tree
             return info
         # topology changed: the data movement below (storage growth,
         # prolongation into new boxes) runs on the host
@@ -871,6 +940,26 @@ class Simulation:
                 and self.tree.coord == "cyl"):
             self.output.write_cross(self, out_cnt)
 
+    def _photoi_set_src(self, time):
+        """Photoionization source update; Helmholtz runs through the
+        compiled units with the state staying on device, Monte-Carlo (or
+        host mode) round-trips (streamer.f90:236-242)."""
+        dt = time - self._photoi_prev_time
+        params = {"voltage": self.field.current_voltage}
+        if (self._compiled_on and getattr(self, "_photoi_compiled", False)
+                and not isinstance(self.cc, np.ndarray)):
+            cc = self.photoi.jit_set_src(self.cc, dt, params)
+        else:
+            was_device = not isinstance(self.cc, np.ndarray)
+            self._to_host()
+            cc = self.photoi.set_src(self.cc, dt, params)
+            self.cc = cc
+            if self._compiled_on and was_device:
+                self._to_device()
+                cc = self.cc
+        self._photoi_prev_time = time
+        return cc
+
     # -------------------------------------------------------- main loop
     def _substep(self, cc, fc, dt, dt_lim, time, s_deriv, s_prev, w_prev,
                  s_out, i_step, n_steps, params):
@@ -951,17 +1040,15 @@ class Simulation:
             if self.photoi.enabled and \
                     self.it % self.photoi.per_steps == 0:
                 t1 = _time.time()
-                self._to_host()
-                self.cc = self.photoi.set_src(
-                    self.cc, time - self._photoi_prev_time,
-                    {"voltage": self.field.current_voltage})
-                self._photoi_prev_time = time
+                self.cc = self._photoi_set_src(time)
                 self.wc["photoi"] += _time.time() - t1
-                if self._compiled_on:
-                    self._to_device()
 
             if self.st.use_electrode:
-                self._set_electrode_densities()
+                if self._compiled_on and not isinstance(self.cc,
+                                                        np.ndarray):
+                    self._jit_electrode_densities()
+                else:
+                    self._set_electrode_densities()
 
             # --- attempt loop with state copy/rejection (streamer.f90:251-288)
             dt_lim = uc.huge_real
@@ -1018,6 +1105,9 @@ class Simulation:
             t1 = _time.time()
             self.cc, self.fc = self.field.compute(self.cc, self.fc, 0, time,
                                                   True)
+            if not isinstance(self.cc, np.ndarray):
+                import jax
+                jax.block_until_ready(self.cc)
             self.wc["field"] += _time.time() - t1
 
             # gas dynamics advance (streamer.f90:325-336)
@@ -1093,11 +1183,10 @@ class Simulation:
                     self.cc, self.fc = self.field.compute(
                         self.cc, self.fc, 0, time, True)
                     if self.photoi.enabled:
-                        self._to_host()
-                        self.cc = self.photoi.set_src(
-                            self.cc, time - self._photoi_prev_time,
-                            {"voltage": self.field.current_voltage})
-                        self._photoi_prev_time = time
+                        self.cc = self._photoi_set_src(time)
+                if not isinstance(self.cc, np.ndarray):
+                    import jax
+                    jax.block_until_ready(self.cc)
             self.wc["refine"] += _time.time() - t1
 
         self.output.status(self, _time.time() - t_start)

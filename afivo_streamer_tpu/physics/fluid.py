@@ -1022,12 +1022,22 @@ class FluidModel:
             t0 = _time.time()
             cc, fc = field_compute(cc, fc, s_deriv, time, True, params)
             if self.wc is not None:
+                if not isinstance(cc, np.ndarray):
+                    import jax
+                    jax.block_until_ready(cc)
                 self.wc["field"] += _time.time() - t0
         if not isinstance(cc, np.ndarray) and self._jit_cfg is not None:
             # compiled path: the whole flux + conservative-update +
-            # chemistry substep is one jitted unit over the epoch pack
-            return self._jit_flux_update(cc, fc, dt, s_deriv, s_prev,
-                                         w_prev, s_out, last_step, params)
+            # chemistry substep is one jitted unit over the epoch pack;
+            # blocked so wc["advance"] is real device time, not dispatch
+            t0 = _time.time()
+            out = self._jit_flux_update(cc, fc, dt, s_deriv, s_prev,
+                                        w_prev, s_out, last_step, params)
+            if self.wc is not None:
+                import jax
+                jax.block_until_ready(out[0])
+                self.wc["advance"] += _time.time() - t0
+            return out
         t0 = _time.time()
         cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv, params)
         t1 = _time.time()

@@ -175,6 +175,121 @@ class Photoionization:
                 lambda i, d, c, pp: helmh_bc(i, d, c, pp, tree.ndim),
                 helmholtz_lambda=float(lambdas[n] ** 2)))
 
+    # -------------------------------------------------- compiled engine
+    def enable_jit(self, pad: bool = True, trash: int = 0) -> bool:
+        """Route set_src through jitted units (the per-mode Helmholtz
+        solves reuse the compiled multigrid machinery with lambda^2 —
+        m_photoi_helmh.f90:148-159 does exactly this with mg_t). Returns
+        False when this photoi configuration has no compiled path (MC)."""
+        if not self.enabled:
+            return True
+        if self.method != "helmholtz":
+            return False
+        for mg in self.mgs:
+            mg.enable_jit(pad=pad, trash=trash)
+        return True
+
+    def jit_set_src(self, cc, dt, params):
+        """photoi_set_src through the compiled engine: one jitted unit for
+        the source assembly + max|rhs|, then one convergence-controlled
+        unit per Helmholtz mode (lax.while_loop over FMG cycles) — no
+        host round-trip of the state (m_photoi.f90:140-187,
+        m_photoi_helmh.f90:162-204)."""
+        import jax
+        import jax.numpy as jnp
+        from ..solvers.multigrid import blocks
+        t = self.tree
+        nc, ndim = t.nc, t.ndim
+        quench_fac = float(self.quenching_pressure
+                           / (self.gas.pressure + self.quenching_pressure))
+        mg0 = self.mgs[0]
+
+        def src_body(cc, scal, dt_):
+            tbs = [mg0._tb(l) for l in range(1, mg0._n_levels() + 1)]
+            tbs = [tb for tb in tbs if len(tb.leaves)]
+            leaves = jnp.concatenate([jnp.asarray(sp.aix(tb.leaves))
+                                      for tb in tbs])
+            valid = jnp.concatenate([jnp.asarray(tb.leaf_valid)
+                                     for tb in tbs])
+            interior = sp.interior_flat(ndim, nc)
+            # zero photo everywhere (all ids incl. parents)
+            ids = jnp.concatenate([jnp.asarray(sp.aix(tb.ids))
+                                   for tb in tbs])
+            cc = cc.at[self.i_photo, ids].set(0.0)
+            if self.source_type == "Zheleznyak":
+                coeff = self.eta * quench_fac
+                fld = cc[self.i_electric_fld, leaves[:, None],
+                         interior[None, :]]
+                td_ = (fld * uc.SI_to_Townsend
+                       * self.gas.inverse_number_density)
+                alpha = self.td.tbl.get_col(TD_ALPHA, td_)
+                mob = self.td.tbl.get_col(TD_MOBILITY, td_)
+                ne = cc[self.i_electron, leaves[:, None], interior[None, :]]
+                src = jnp.maximum(fld * mob * alpha * ne * coeff, 0.0)
+                cc = cc.at[self.i_rhs, leaves[:, None],
+                           interior[None, :]].set(src)
+            else:  # from_species (excited-species decay, :268-286)
+                eff = self.photoemission_time
+                dt_ = jnp.asarray(dt_).astype(cc.dtype)
+                decay_fraction = 1.0 - jnp.exp(-dt_ / eff)
+                decay_rate = jnp.where(dt_ > 1e-6 * eff,
+                                       decay_fraction / jnp.maximum(
+                                           dt_, 1e-30),
+                                       1.0 / eff)
+                i_exc = self.i_excited_cc
+                exc = cc[i_exc, leaves[:, None], interior[None, :]]
+                cc = cc.at[self.i_rhs, leaves[:, None],
+                           interior[None, :]].set(
+                               quench_fac * decay_rate * exc)
+                cc = cc.at[i_exc, leaves[:, None], interior[None, :]].set(
+                    (1.0 - decay_fraction) * exc)
+            B = blocks(cc, self.i_rhs, leaves, nc, ndim)
+            B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
+            B = jnp.where(valid.reshape((-1,) + (1,) * ndim) > 0,
+                          jnp.abs(B), 0.0)
+            max_rhs = jnp.maximum(jnp.max(B),
+                                  np.sqrt(np.finfo(np.float32).eps)
+                                  if cc.dtype == jnp.float32
+                                  else np.sqrt(np.finfo(np.float64).eps))
+            return cc, max_rhs
+
+        cc, max_rhs = mg0._run_unit("photoi_src", src_body, cc, params,
+                                    jnp.asarray(float(dt or 0.0)))
+
+        rel = float(self.max_rel_residual)
+        for n in range(self.n_modes):
+            mg = self.mgs[n]
+            coeff_n = float(self.coeffs[n])
+
+            def mode_body(cc, scal, max_rhs, mg=mg, coeff_n=coeff_n):
+                def cond(state):
+                    _, res, k = state
+                    return jnp.logical_and(k < 10, res / max_rhs >= rel)
+
+                def wbody(state):
+                    c, _, k = state
+                    c = mg.fas_fmg(c, scal, set_residual=False,
+                                   have_guess=True)
+                    c, res = mg.residual_all_levels(c, 0.0)
+                    return (c, res.astype(cc.dtype), k + 1)
+
+                cc, _, _ = jax.lax.while_loop(
+                    cond, wbody,
+                    (cc, jnp.asarray(jnp.inf, cc.dtype),
+                     jnp.asarray(0, jnp.int32)))
+                # photo -= c_n * phi_n on all cells of the leaf rows
+                tbs = [mg._tb(l) for l in range(1, mg._n_levels() + 1)]
+                tbs = [tb for tb in tbs if len(tb.leaves)]
+                leaves = jnp.concatenate([jnp.asarray(sp.aix(tb.leaves))
+                                          for tb in tbs])
+                upd = (cc[self.i_photo, leaves]
+                       - coeff_n * cc[mg.i_phi, leaves])
+                return cc.at[self.i_photo, leaves].set(upd)
+
+            cc = mg._run_unit(f"photoi_mode_{n}", mode_body, cc, params,
+                              max_rhs)
+        return cc
+
     # ------------------------------------------------------------ source
     def set_src(self, cc, dt: Optional[float] = None, params=None):
         """photoi_set_src (``m_photoi.f90:140-187``)."""

@@ -109,8 +109,13 @@ def main():
                     float(np.percentile(w, 10)) * 1e3, 1)
                 if len(w) else None,
                 "setup_s": round(setup_s, 1),
-                "wc_breakdown": {k: round(v, 1)
-                                 for k, v in sim.wc.items()},
+                # only buckets that apply to this run mode (compiled runs
+                # attribute the fused substep to "advance"; flux/source
+                # split exists on the host path only), plus the
+                # unattributed remainder so the entries sum to ~wall
+                "wc_breakdown": dict(
+                    {k: round(v, 1) for k, v in sim.wc.items() if v > 0.0},
+                    other=round(max(0.0, wall - sum(sim.wc.values())), 1)),
             },
         }
         print(json.dumps(result), flush=True)
