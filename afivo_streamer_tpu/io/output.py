@@ -524,7 +524,7 @@ class Output:
         data = {nm: np.asarray(sim.cc[iv, ids])
                 for iv, nm in zip(ivs, names)}
         out = dict(
-            box_lvl=lvls, box_r_min=t.box_r_min(ids),
+            box_id=ids, box_lvl=lvls, box_r_min=t.box_r_min(ids),
             dr_base=t.dr_base, nc=nc, ndim=ndim,
             coord=t.coord, time=sim.global_time, cycle=out_cnt,
             var_names=np.asarray(names), **data)
