@@ -59,6 +59,13 @@ def bucket_hwm(tree, key, n: int) -> int:
     hw = tree.__dict__.setdefault("_bucket_hwm", {})
     b = bucket(n)
     old = hw.get(key, 0)
+    if old == 0 and b > 0:
+        # prepad: first sighting of a table reserves headroom so that
+        # expected AMR growth never crosses a bucket boundary mid-run.
+        # One retrace of the fused production step costs minutes of
+        # remote XLA compile on TPU; padded device work is nearly free
+        # in the latency-bound regime (driver.compiled%prepad)
+        b = bucket(int(np.ceil(n * tree.__dict__.get("_prepad", 1.0))))
     if b > old > 0:
         if tree.__dict__.get("_bucket_gen_epoch") != tree.epoch:
             tree._bucket_gen_epoch = tree.epoch

@@ -297,6 +297,19 @@ class Simulation:
             "compiled%dtype", "float64",
             "Device dtype of the compiled step (float64 or float32; f64 "
             "is emulated ~50x slower on TPU)")
+        self.compiled_fused = cfg.add_get(
+            "compiled%fused", True,
+            "Fuse each full time step (state copy, rejection loop, "
+            "substeps, field solves, diagnostics) into ONE device "
+            "dispatch; F falls back to per-unit dispatches with blocked "
+            "per-phase timers (the profiling mode)")
+        self.compiled_prepad = cfg.add_get(
+            "compiled%prepad", 1.0,
+            "Bucket-headroom factor for the compiled engine: pad every "
+            "topology table to this multiple of its initial size so AMR "
+            "growth does not change compiled shapes (a retrace of the "
+            "fused step costs minutes of XLA compile; padded device work "
+            "is nearly free in the latency-bound regime)")
         self._compiled_on = False
 
         self.surfaces = None
@@ -554,8 +567,11 @@ class Simulation:
         # the last real box). On growth, jump straight to 2x the need:
         # every capacity change recompiles ALL units (the trash row index
         # is baked in), so growth events must be rare.
+        self.tree._prepad = float(self.compiled_prepad)
         need = self.tree.highest_id + 2
         have = self.cc.shape[1] if self._compiled_on else 0
+        if have == 0 and self.compiled_prepad > 1.0:
+            need = int(np.ceil(need * self.compiled_prepad))
         cap = max(tp.bucket(need) if have == 0 or tp.bucket(need) <= have
                   else tp.bucket(2 * need), have)
         if self.cc.shape[1] != cap:
@@ -586,6 +602,191 @@ class Simulation:
         self._photoi_compiled = self.photoi.enable_jit(pad=True,
                                                        trash=trash)
         self._compiled_on = True
+
+    def _fused_step_available(self) -> bool:
+        """Whether the one-dispatch production step applies: explicit
+        integrator, traceable voltage form, no gas dynamics (IMEX schemes
+        and user amplitude functions fall back to the per-unit compiled
+        path, which the host drives step by step)."""
+        return (self.compiled_fused
+                and not adv.REQUIRES_IMPLICIT[self.dt_cfg.integrator]
+                and self.field.user_field_amplitude is None
+                and self.gasdyn is None)
+
+    def _jit_full_step(self, dt: float, time: float):
+        """ONE device dispatch for a full production time step
+        (streamer.f90:251-343): temporal-state copy, the <=10-attempt
+        rejection loop (``lax.while_loop``; on reject restore state and
+        recompute E), all integrator substeps with their in-substep field
+        solves, the final field solve at the accepted time, and the step
+        diagnostics (dt limits, reaction rates, J.E, field energy) packed
+        into one small f64 stats vector.
+
+        Why: over a remote TPU link every blocked host sync costs a full
+        round trip (~29 ms measured); the per-unit path has 6-8 blocked
+        syncs per step and spent 342 ms/step at 18k cells where the
+        device computes for ~90 ms. The fused step leaves exactly one
+        blocked pull (the stats vector) per step. Voltage is evaluated
+        in-trace (field.voltage_traced) so rejected attempts see the
+        exact voltage of their shortened time step, as the reference
+        does via field_compute -> field_set_voltage."""
+        import jax
+        import jax.numpy as jnp
+        from .core import treepack as tp
+        from .solvers.multigrid import blocks as mg_blocks
+        fl, field, mg = self.fluid, self.field, self.field.mg
+        pad, trash = fl._jit_cfg
+        fl_pack = tp.get_epoch_pack(self.tree, pad=pad, trash=trash,
+                                    with_gc2=True, dtype=self.cc.dtype)
+        mg_pack, mg_aux = mg._pack_and_ops(dtype=self.cc.dtype)
+        integrator = self.dt_cfg.integrator
+        cache = self.__dict__.setdefault("_jit_fullstep", {})
+        key = (trash, str(self.cc.dtype), integrator)
+        if key not in cache:
+            steps = adv.SCHEMES[integrator]
+            n_steps = adv.N_STEPS[integrator]
+            n_states = self.dt_cfg.num_steps
+            sf = float(self.dt_cfg.safety_factor)
+            n_rx = self.chem.n_reactions
+            nc, ndim = self.tree.nc, self.tree.ndim
+            i_efld = self.i_electric_fld
+            src = np.asarray(self.all_densities + [self.i_phi], np.int32)
+            tgt = np.asarray([iv + n_states for iv in self.all_densities]
+                             + [self.i_phi + 1], np.int32)
+            f64 = jnp.float64
+
+            def mk_scal(t_s, dt_stiff, dtype):
+                # scalars are cast to the state dtype: the per-unit path
+                # passes host floats (weak-typed -> f32 in products); a
+                # strong f64 scalar would silently promote every product
+                # to emulated f64 on TPU
+                v = field.voltage_traced(t_s)
+                scal = {"voltage": v.astype(dtype),
+                        "dt_stiff": jnp.asarray(dt_stiff, dtype)}
+                if field.lsf_data is not None:
+                    scal["lsf_phi_b"] = (
+                        jnp.asarray(field.lsf_phi_b_traced(v), f64)
+                        .astype(dtype))
+                return scal
+
+            def run_attempt(cc, fc, tv, dtv):
+                """All explicit substeps of one attempt; returns the
+                LAST substep's dt limit & diagnostics (the reference
+                assigns dt_lim per substep, m_fluid.f90:96-98)."""
+                for entry in steps:
+                    (_, f, f_stiff, toff, s_deriv, s_prev, w_prev,
+                     s_out, i_step) = entry
+                    scal = mk_scal(tv + toff * dtv, f_stiff * dtv,
+                                   cc.dtype)
+                    if i_step > 1:
+                        cc, fc, _ = field._solve_body(cc, fc, scal,
+                                                      s_deriv)
+                    cc, fc, dt_lim, diag = fl._flux_update_body(
+                        cc, fc, (f * dtv).astype(cc.dtype), scal,
+                        s_deriv, list(s_prev),
+                        list(w_prev), s_out, i_step == n_steps)
+                rates = (diag["rates"].astype(f64).reshape(n_rx)
+                         if n_rx else jnp.zeros(0, f64))
+                dvec = jnp.concatenate([
+                    diag["dt_limits"].astype(f64).reshape(4),
+                    jnp.asarray(diag["JdotE"], f64).reshape(1), rates])
+                return cc, fc, dt_lim.astype(f64), dvec
+
+            def field_energy(cc):
+                """0.5 eps0 sum E^2 dV over leaf interiors
+                (field_compute_energy, m_field.f90:764-769)."""
+                tot = jnp.asarray(0.0, f64)
+                for l in range(1, mg._n_levels() + 1):
+                    tb = mg._tb(l)
+                    if len(tb.leaves) == 0:
+                        continue
+                    lv = jnp.asarray(sp.aix(tb.leaves))
+                    B = mg_blocks(cc, i_efld, lv, nc, ndim)
+                    B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
+                    B = B.reshape(B.shape[0], -1).astype(f64)
+                    w = (jnp.asarray(tb.vol, f64)
+                         * jnp.asarray(tb.leaf_valid, f64)[:, None])
+                    tot = tot + jnp.sum(B * B * w)
+                return 0.5 * uc.eps0 * tot
+
+            def traced(cc, fc, dtv, tv, fl_pack, mg_pack, mg_aux):
+                old_f = fl._pack
+                ops, sm, extras = mg_aux
+                old_m = (mg._pack, mg._pack_ops, mg._pack_sm,
+                         mg._pack_extras)
+                fl._pack = fl_pack
+                (mg._pack, mg._pack_ops, mg._pack_sm,
+                 mg._pack_extras) = mg_pack, ops, sm, extras
+                try:
+                    dtv = jnp.asarray(dtv, f64)
+                    tv = jnp.asarray(tv, f64)
+                    cc = cc.at[:, trash].set(0.0)
+                    fc = fc.at[:, :, trash].set(0.0)
+                    # copy_current_state (streamer.f90:571-583)
+                    cc = cc.at[tgt].set(cc[src])
+                    # attempt loop (streamer.f90:251-281). The first
+                    # attempt runs inside the while_loop too (n_att == 0
+                    # in the cond) so the big substep graph is traced
+                    # exactly ONCE - tracing it twice doubles the
+                    # minutes-long remote XLA compile of this unit
+                    n_rx_tot = 5 + n_rx
+                    carry = (cc, fc, dtv, jnp.asarray(False),
+                             jnp.asarray(0, jnp.int32),
+                             jnp.asarray(uc.huge_real, f64),
+                             jnp.zeros(n_rx_tot, f64))
+
+                    def cond(c):
+                        first = c[4] == 0
+                        retry = jnp.logical_and(
+                            c[3], c[4] < MAX_ATTEMPTS_PER_TIME_STEP)
+                        return jnp.logical_or(first, retry)
+
+                    def wbody(c):
+                        cc, fc, dtv_a, rej, n_att, dt_lim_min, _dv = c
+
+                        def restore(cc, fc):
+                            # restore_previous_state + E from the
+                            # restored potential (streamer.f90:586-599)
+                            cc2 = cc.at[src].set(cc[tgt])
+                            return field.from_potential(
+                                cc2, fc, mk_scal(tv, 0.0, cc.dtype))
+
+                        cc, fc = jax.lax.cond(
+                            rej, restore, lambda cc, fc: (cc, fc),
+                            cc, fc)
+                        cc, fc, dt_lim, dvec = run_attempt(cc, fc, tv,
+                                                           dtv_a)
+                        ok = dtv_a <= dt_lim
+                        return (cc, fc,
+                                jnp.where(ok, dtv_a, sf * dt_lim),
+                                jnp.logical_not(ok), n_att + 1,
+                                jnp.minimum(dt_lim_min, dt_lim), dvec)
+
+                    (cc, fc, dt_used, rejected, n_att, dt_lim_min,
+                     dvec) = jax.lax.while_loop(cond, wbody, carry)
+
+                    # field for the accepted state at the new time
+                    # (streamer.f90:321)
+                    scal_f = mk_scal(tv + dt_used, 0.0, cc.dtype)
+                    cc, fc, _res = field._solve_body(cc, fc, scal_f, 0)
+                    stats = jnp.concatenate([
+                        jnp.stack([
+                            dt_used, dt_lim_min, dvec[0], dvec[1],
+                            dvec[2], dvec[3], dvec[4],
+                            (n_att - jnp.logical_not(rejected)
+                             .astype(jnp.int32)).astype(f64),
+                            jnp.logical_not(rejected).astype(f64),
+                            field_energy(cc)]),
+                        dvec[5:]])
+                    return cc, fc, stats
+                finally:
+                    fl._pack = old_f
+                    (mg._pack, mg._pack_ops, mg._pack_sm,
+                     mg._pack_extras) = old_m
+
+            cache[key] = jax.jit(traced, donate_argnums=(0, 1))
+        return cache[key](self.cc, self.fc, dt, time, fl_pack, mg_pack,
+                          mg_aux)
 
     def _to_device(self):
         if isinstance(self.cc, np.ndarray):
@@ -1051,74 +1252,123 @@ class Simulation:
                     self._set_electrode_densities()
 
             # --- attempt loop with state copy/rejection (streamer.f90:251-288)
-            dt_lim = uc.huge_real
-            step_accepted = False
             params = {"voltage": self.field.current_voltage}
-            for attempt in range(MAX_ATTEMPTS_PER_TIME_STEP):
+            use_fused = (self._compiled_on
+                         and not isinstance(self.cc, np.ndarray)
+                         and self._fused_step_available())
+            if use_fused:
+                # the whole step (copy, attempts, substeps, field solves,
+                # diagnostics) is ONE dispatch; the stats pull below is
+                # the only blocked sync of the step
                 t1 = _time.time()
-                self._copy_state(n_states)
-                self.wc["copy"] += _time.time() - t1
-                cc, fc, dt_lim_step, time_new, diag = adv.advance(
-                    self.cc, self.fc, dt, time, self.dt_cfg.integrator,
-                    self._substep, params)
-                self.cc, self.fc = cc, fc
-                dt_lim_step = float(dt_lim_step)
-                dt_lim = min(dt_lim, dt_lim_step)
-                if dt <= dt_lim_step:
-                    step_accepted = True
-                    time = time_new
-                    break
-                n_steps_rejected += 1
-                print(f"{self.it} Step rejected (#{n_steps_rejected}) "
-                      f"(dt, dt_lim) = {dt:.4E} {dt_lim:.4E}")
-                dt = self.dt_cfg.safety_factor * dt_lim_step
-                time = self.global_time
-                write_out = False
-                self._restore_state(n_states, params)
-            fraction_steps_rejected = 0.99 * fraction_steps_rejected
-            if attempt > 0:
-                fraction_steps_rejected += 0.01
-            if not step_accepted:
-                raise RuntimeError("All time steps were rejected")
-
-            # global rate accounting
-            diag = self._last_diag
-            if self.chem.n_reactions and np.ndim(diag.get("rates", 0)):
-                self.global_rates = (self.global_rates
-                                     + np.asarray(diag["rates"]) * dt)
-            self.global_JdotE += float(diag.get("JdotE", 0.0)) * dt
-
-            # electric current (Sato) every N steps (streamer.f90:296-317)
-            if self.it % st.current_update_per_steps == 0:
-                fe = self.field.compute_energy(self.cc, self.fc)
-                d_fe = ((fe - field_energy_prev)
-                        / max(time - field_energy_prev_time, 1e-300))
-                field_energy_prev, field_energy_prev_time = fe, time
-                if abs(self.field.current_voltage) > 0:
-                    self.global_JdotE_current = (
-                        float(diag.get("JdotE", 0.0))
-                        / self.field.current_voltage)
-                    self.global_displ_current = (
-                        d_fe / self.field.current_voltage)
-
-            # field for the latest state
-            t1 = _time.time()
-            self.cc, self.fc = self.field.compute(self.cc, self.fc, 0, time,
-                                                  True)
-            if not isinstance(self.cc, np.ndarray):
-                import jax
-                jax.block_until_ready(self.cc)
-            self.wc["field"] += _time.time() - t1
-
-            # gas dynamics advance (streamer.f90:325-336)
-            if self.gasdyn is not None:
-                self.cc = self.coupling.add_fluid_source(self.cc, self.fc,
-                                                         dt)
-                dt_gas_lim = self._advance_gas(dt, self.global_time, params)
-                self.cc = self.coupling.update_gas_density(
-                    self.cc, lambda c, ivs: self._gc_simple(c, ivs))
-            else:
+                self.cc, self.fc, stats_dev = self._jit_full_step(dt,
+                                                                  time)
+                stats = np.asarray(stats_dev)
+                self.wc["advance"] += _time.time() - t1
+                dt, dt_lim = float(stats[0]), float(stats[1])
+                n_rej = int(stats[7])
+                if not stats[8] > 0:
+                    raise RuntimeError("All time steps were rejected")
+                if n_rej:
+                    n_steps_rejected += n_rej
+                    print(f"{self.it} Step rejected {n_rej}x "
+                          f"(#{n_steps_rejected} total), dt now "
+                          f"{dt:.4E}")
+                    write_out = False
+                time = time + dt
+                fraction_steps_rejected = 0.99 * fraction_steps_rejected
+                if n_rej > 0:
+                    fraction_steps_rejected += 0.01
+                if self.chem.n_reactions:
+                    self.global_rates = (self.global_rates
+                                         + stats[10:] * dt)
+                self.global_JdotE += float(stats[6]) * dt
+                self.dt_limits = stats[2:6].astype(np.float64)
+                # Sato current from the in-step field energy
+                # (streamer.f90:296-317)
+                if self.it % st.current_update_per_steps == 0:
+                    fe = float(stats[9])
+                    d_fe = ((fe - field_energy_prev)
+                            / max(time - field_energy_prev_time, 1e-300))
+                    field_energy_prev, field_energy_prev_time = fe, time
+                    if abs(self.field.current_voltage) > 0:
+                        self.global_JdotE_current = (
+                            float(stats[6])
+                            / self.field.current_voltage)
+                        self.global_displ_current = (
+                            d_fe / self.field.current_voltage)
                 dt_gas_lim = self.dt_cfg.dt_max
+                diag = {}
+            else:
+                dt_lim = uc.huge_real
+                step_accepted = False
+                for attempt in range(MAX_ATTEMPTS_PER_TIME_STEP):
+                    t1 = _time.time()
+                    self._copy_state(n_states)
+                    self.wc["copy"] += _time.time() - t1
+                    cc, fc, dt_lim_step, time_new, diag = adv.advance(
+                        self.cc, self.fc, dt, time,
+                        self.dt_cfg.integrator, self._substep, params)
+                    self.cc, self.fc = cc, fc
+                    dt_lim_step = float(dt_lim_step)
+                    dt_lim = min(dt_lim, dt_lim_step)
+                    if dt <= dt_lim_step:
+                        step_accepted = True
+                        time = time_new
+                        break
+                    n_steps_rejected += 1
+                    print(f"{self.it} Step rejected (#{n_steps_rejected}) "
+                          f"(dt, dt_lim) = {dt:.4E} {dt_lim:.4E}")
+                    dt = self.dt_cfg.safety_factor * dt_lim_step
+                    time = self.global_time
+                    write_out = False
+                    self._restore_state(n_states, params)
+                fraction_steps_rejected = 0.99 * fraction_steps_rejected
+                if attempt > 0:
+                    fraction_steps_rejected += 0.01
+                if not step_accepted:
+                    raise RuntimeError("All time steps were rejected")
+
+                # global rate accounting
+                diag = self._last_diag
+                if self.chem.n_reactions and np.ndim(diag.get("rates", 0)):
+                    self.global_rates = (self.global_rates
+                                         + np.asarray(diag["rates"]) * dt)
+                self.global_JdotE += float(diag.get("JdotE", 0.0)) * dt
+
+                # electric current (Sato) every N steps
+                # (streamer.f90:296-317)
+                if self.it % st.current_update_per_steps == 0:
+                    fe = self.field.compute_energy(self.cc, self.fc)
+                    d_fe = ((fe - field_energy_prev)
+                            / max(time - field_energy_prev_time, 1e-300))
+                    field_energy_prev, field_energy_prev_time = fe, time
+                    if abs(self.field.current_voltage) > 0:
+                        self.global_JdotE_current = (
+                            float(diag.get("JdotE", 0.0))
+                            / self.field.current_voltage)
+                        self.global_displ_current = (
+                            d_fe / self.field.current_voltage)
+
+                # field for the latest state
+                t1 = _time.time()
+                self.cc, self.fc = self.field.compute(self.cc, self.fc, 0,
+                                                      time, True)
+                if not isinstance(self.cc, np.ndarray):
+                    import jax
+                    jax.block_until_ready(self.cc)
+                self.wc["field"] += _time.time() - t1
+
+                # gas dynamics advance (streamer.f90:325-336)
+                if self.gasdyn is not None:
+                    self.cc = self.coupling.add_fluid_source(
+                        self.cc, self.fc, dt)
+                    dt_gas_lim = self._advance_gas(dt, self.global_time,
+                                                   params)
+                    self.cc = self.coupling.update_gas_density(
+                        self.cc, lambda c, ivs: self._gc_simple(c, ivs))
+                else:
+                    dt_gas_lim = self.dt_cfg.dt_max
 
             # new time step (streamer.f90:338-343)
             tmp = self.dt_cfg.max_growth_factor
@@ -1133,10 +1383,13 @@ class Simulation:
                     self.user.new_pulse_conditions(self)
             self.global_dt = dt
             self.global_time = time
-            if np.ndim(diag.get("dt_limits", None)) == 1:
-                self.dt_limits = np.asarray(diag["dt_limits"])
-            else:
-                self.dt_limits = np.array([dt_lim, 1e100, 1e100, 1e100])
+            if not use_fused:
+                # fused steps set dt_limits from the stats vector above
+                if np.ndim(diag.get("dt_limits", None)) == 1:
+                    self.dt_limits = np.asarray(diag["dt_limits"])
+                else:
+                    self.dt_limits = np.array([dt_lim, 1e100, 1e100,
+                                               1e100])
 
             if self.global_dt < self.dt_cfg.dt_min:
                 self.output.status(self, _time.time() - t_start)

@@ -438,6 +438,47 @@ class FieldSolver:
             return self.from_potential(cc, fc, scal)
         return self.mg._run_unit("from_potential", body, cc, params, fc)
 
+    def voltage_traced(self, time):
+        """Traced voltage(time) for the fused compiled step
+        (field_set_voltage, ``m_field.f90:508-543``): the pulse-train and
+        tabulated forms as jnp scalar math, bit-identical in f64 to
+        set_voltage above. A user-supplied amplitude function is host-only
+        (the driver falls back to the per-unit compiled path)."""
+        import jax.numpy as jnp
+        if self.user_field_amplitude is not None:
+            raise ValueError("user field amplitude cannot be traced")
+        time = jnp.asarray(time, jnp.float64)
+        if self.given_by == self.TABULATED_VOLTAGE:
+            tt, tv = self.field_table
+            # lin_interp_list is clamped np.interp; jnp.interp matches
+            return jnp.interp(time, jnp.asarray(tt, jnp.float64),
+                              jnp.asarray(tv, jnp.float64))
+        v = float(self.field_voltage)
+        period = float(self.field_pulse_period)
+        rise = float(self.field_rise_time)
+        width = float(self.field_pulse_width)
+        t = jnp.mod(time, period)
+        if rise > 0.0:
+            tmp = t - (width + rise)
+            val = jnp.where(
+                t < rise, v * (t / rise),
+                jnp.where(t < width + rise, v,
+                          v * jnp.maximum(0.0, 1.0 - tmp / rise)))
+        else:
+            # rise_time 0: the host path's 1 - tmp/0 underflows to -inf
+            # and the max() clamps it to 0 beyond the pulse width
+            val = jnp.where(t < width, v, 0.0)
+        return jnp.where(time < period * float(self.field_num_pulses),
+                         val, 0.0)
+
+    def lsf_phi_b_traced(self, voltage):
+        """Traced electrode boundary potential (see compute above)."""
+        if self.lsf_data is None:
+            return 0.0
+        if getattr(self, "user_lsf_bc", None) is not None:
+            return 1.0
+        return voltage
+
     def jit_field_solve(self, cc, fc, s_in: int, params):
         """The whole convergence-controlled solve as ONE compiled unit:
         rhs assembly, residual threshold, ``lax.while_loop`` over
@@ -448,6 +489,16 @@ class FieldSolver:
         leaves and per-call flattening plus the per-V-cycle host residual
         sync dominate when the solve is split into many units (~80 ms of
         overhead per solve measured on TPU at 18k cells)."""
+        def body(cc, scal, fc):
+            return self._solve_body(cc, fc, scal, s_in)
+        return self.mg._run_unit(f"field_solve_{s_in}", body, cc, params,
+                                 fc)
+
+    def _solve_body(self, cc, fc, scal, s_in: int):
+        """Traced body of the one-dispatch field solve; the ambient packs
+        (mg._pack/_pack_ops/...) must be set by the caller — either
+        _run_unit (jit_field_solve) or the fused production step
+        (driver._jit_full_step)."""
         import jax
         from ..solvers.multigrid import blocks
         mg = self.mg
@@ -458,52 +509,49 @@ class FieldSolver:
         dlen = float(st.domain_len[self.tree.ndim - 1])
         nc, ndim = self.tree.nc, self.tree.ndim
 
-        def body(cc, scal, fc):
-            import jax.numpy as jnp
-            cc = self.set_rhs(cc, s_in)
-            # masked max |rhs| over the leaves of all levels
-            tbs = [mg._tb(l) for l in range(1, mg._n_levels() + 1)]
-            tbs = [t for t in tbs if len(t.leaves)]
-            leaves = jnp.concatenate([jnp.asarray(sp.aix(t.leaves))
-                                      for t in tbs])
-            valid = jnp.concatenate([jnp.asarray(t.leaf_valid)
-                                     for t in tbs])
-            B = blocks(cc, self.i_rhs, leaves, nc, ndim)
-            B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
-            B = jnp.where(valid.reshape((-1,) + (1,) * ndim) > 0,
-                          jnp.abs(B), 0.0)
-            max_rhs = jnp.max(B)
-            min_dr = float(np.min(self.tree.lvl_dr(self.tree.highest_lvl)))
-            voltage = jnp.abs(jnp.asarray(scal.get("voltage", 0.0))
-                              .astype(cc.dtype))
-            thr = jnp.maximum(
-                jnp.asarray(1e-6, cc.dtype),
-                jnp.maximum(max_rhs * rel,
-                            (conv_fac / (dlen * min_dr)) * voltage))
-            phi_b = scal.get("lsf_phi_b", 0.0)
+        import jax.numpy as jnp
+        cc = self.set_rhs(cc, s_in)
+        # masked max |rhs| over the leaves of all levels
+        tbs = [mg._tb(l) for l in range(1, mg._n_levels() + 1)]
+        tbs = [t for t in tbs if len(t.leaves)]
+        leaves = jnp.concatenate([jnp.asarray(sp.aix(t.leaves))
+                                  for t in tbs])
+        valid = jnp.concatenate([jnp.asarray(t.leaf_valid)
+                                 for t in tbs])
+        B = blocks(cc, self.i_rhs, leaves, nc, ndim)
+        B = B[(slice(None),) + (slice(1, nc + 1),) * ndim]
+        B = jnp.where(valid.reshape((-1,) + (1,) * ndim) > 0,
+                      jnp.abs(B), 0.0)
+        max_rhs = jnp.max(B)
+        min_dr = float(np.min(self.tree.lvl_dr(self.tree.highest_lvl)))
+        voltage = jnp.abs(jnp.asarray(scal.get("voltage", 0.0))
+                          .astype(cc.dtype))
+        thr = jnp.maximum(
+            jnp.asarray(1e-6, cc.dtype),
+            jnp.maximum(max_rhs * rel,
+                        (conv_fac / (dlen * min_dr)) * voltage))
+        phi_b = scal.get("lsf_phi_b", 0.0)
 
-            def cond(state):
-                _, res, k = state
-                return jnp.logical_and(k < max_v, res >= thr)
+        def cond(state):
+            _, res, k = state
+            return jnp.logical_and(k < max_v, res >= thr)
 
-            def wbody(state):
-                c, _, k = state
-                if mg.lsf_data is None and mg.eps_data is None:
-                    c = mg.fas_vcycle(c, scal, set_residual=False)
-                    c, res = mg.residual_all_levels(c, phi_b)
-                else:
-                    c = mg.fas_vcycle(c, scal, set_residual=True)
-                    res = mg.max_abs_residual(c, phi_b=phi_b)
-                return (c, res.astype(cc.dtype), k + 1)
+        def wbody(state):
+            c, _, k = state
+            if mg.lsf_data is None and mg.eps_data is None:
+                c = mg.fas_vcycle(c, scal, set_residual=False)
+                c, res = mg.residual_all_levels(c, phi_b)
+            else:
+                c = mg.fas_vcycle(c, scal, set_residual=True)
+                res = mg.max_abs_residual(c, phi_b=phi_b)
+            return (c, res.astype(cc.dtype), k + 1)
 
-            cc, res, _ = jax.lax.while_loop(
-                cond, wbody,
-                (cc, jnp.asarray(jnp.inf, cc.dtype),
-                 jnp.asarray(0, jnp.int32)))
-            cc, fc = self.from_potential(cc, fc, scal)
-            return cc, fc, res
-
-        return mg._run_unit(f"field_solve_{s_in}", body, cc, params, fc)
+        cc, res, _ = jax.lax.while_loop(
+            cond, wbody,
+            (cc, jnp.asarray(jnp.inf, cc.dtype),
+             jnp.asarray(0, jnp.int32)))
+        cc, fc = self.from_potential(cc, fc, scal)
+        return cc, fc, res
 
     def jit_set_rhs(self, cc, s_in: int):
         """Compiled set_rhs (one unit per temporal state index)."""

@@ -1076,6 +1076,18 @@ class FluidModel:
             dt_other + 0.0 * dt_lim])
         return cc, fc, dt_lim, diag
 
+    def _flux_update_body(self, cc, fc, dt_, scal, s_deriv, s_prev, w_prev,
+                          s_out, last_step):
+        """Traced flux + conservative update + chemistry substep; the
+        ambient epoch pack (self._pack) must be set by the caller —
+        either _jit_flux_update below or the fused production step
+        (driver._jit_full_step)."""
+        cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv, scal)
+        cc, dt_chem, diag = self.update_densities(
+            cc, fc, dt_, s_deriv, list(s_prev), list(w_prev), s_out,
+            last_step, scal)
+        return self._finish_substep(cc, fc, dt_cfl, dt_drt, dt_chem, diag)
+
     def _jit_flux_update(self, cc, fc, dt, s_deriv, s_prev, w_prev, s_out,
                          last_step, params):
         """Jitted flux + update unit keyed by the substep configuration;
@@ -1096,13 +1108,9 @@ class FluidModel:
                     if pad:
                         cc = cc.at[:, trash].set(0.0)
                         fc = fc.at[:, :, trash].set(0.0)
-                    cc, fc, dt_cfl, dt_drt = self.compute_fluxes(
-                        cc, fc, s_deriv, scal)
-                    cc, dt_chem, diag = self.update_densities(
-                        cc, fc, dt_, s_deriv, list(s_prev), list(w_prev),
-                        s_out, last_step, scal)
-                    return self._finish_substep(cc, fc, dt_cfl, dt_drt,
-                                                dt_chem, diag)
+                    return self._flux_update_body(
+                        cc, fc, dt_, scal, s_deriv, list(s_prev),
+                        list(w_prev), s_out, last_step)
                 finally:
                     self._pack = old
             self._jit_units[key] = jax.jit(traced)

@@ -133,6 +133,61 @@ class RefineCriterion:
         both = np.asarray(self._jit_fetch(cc, ids_p, interior))[:, :n]
         return both[0], both[1]
 
+    def _device_base_flags(self, cc, ids, interior, max_dx):
+        """The alpha*dx criterion entirely on device: LUT alpha, adx
+        thresholds, and the derefine rule reduce to ONE int8 flag code
+        per cell, so a refinement check transfers ~n_cells bytes instead
+        of two f64 fields (~16x less over the TPU tunnel, plus the LUT
+        work stays on device)."""
+        import jax
+        import jax.numpy as jnp
+        rs = self.rs
+        if not hasattr(self, "_jit_base_flags"):
+            gas_dens = float(self.gas.number_density)
+            iv2 = np.asarray([self.i_electric_fld, self.i_electron],
+                             np.int32)
+
+            def traced(cc, ids, itr, mdx):
+                both = cc[iv2[:, None, None], ids[None, :, None],
+                          itr[None, None, :]]
+                fld, elec = both[0], both[1]
+                fld_td = fld * (uc.SI_to_Townsend / gas_dens)
+                if rs.use_alpha_effective:
+                    alpha = (self.td.tbl.get_col(TD_ALPHA,
+                                                 rs.adx_fac * fld_td)
+                             - self.td.tbl.get_col(TD_ETA,
+                                                   rs.adx_fac * fld_td))
+                    alpha = jnp.maximum(alpha, 0.0)
+                else:
+                    alpha = self.td.tbl.get_col(TD_ALPHA,
+                                                rs.adx_fac * fld_td)
+                adx = alpha * (gas_dens / rs.adx_fac) * mdx[:, None]
+                ref = (adx > rs.adx) & (elec > rs.min_dens)
+                # clamp the derefine_dx default (1e100) so the weak
+                # cast to f32 does not overflow-warn at trace time
+                drx = min(rs.derefine_dx, 3.0e38)
+                rm = ((adx < 0.125 * rs.adx)
+                      & (mdx[:, None] < drx) & ~ref)
+                return (ref.astype(jnp.int8)
+                        + 2 * rm.astype(jnp.int8))
+
+            self._jit_base_flags = jax.jit(traced)
+        n = len(ids)
+        nb = 4
+        while nb < n:
+            nb *= 2
+        ids_p = np.full(nb, int(ids[0]), ids.dtype)
+        ids_p[:n] = ids
+        mdx_p = np.zeros(nb)
+        mdx_p[:n] = max_dx
+        mdx_p = jnp.asarray(mdx_p, cc.dtype)
+        code = np.asarray(self._jit_base_flags(
+            cc, ids_p, interior, mdx_p))[:n]
+        flags = np.full(code.shape, KEEP_REF, dtype=np.int64)
+        flags[code == 1] = DO_REF
+        flags[code == 2] = RM_REF
+        return flags
+
     def cell_flags(self, cc, ids) -> np.ndarray:
         """default_refinement for the given boxes; returns flags
         [n, [nc]^ndim]."""
@@ -143,30 +198,35 @@ class RefineCriterion:
         n = len(ids)
         interior = sp.interior_flat(ndim, nc)
         shape = (n,) + (nc,) * ndim
-        fld, elec = self._fetch_criterion(cc, ids, interior)
-        fld = fld.reshape(shape)
-        elec = elec.reshape(shape)
-        gas_dens = self.gas.number_density
-        fld_td = fld * uc.SI_to_Townsend / gas_dens
-        if rs.use_alpha_effective:
-            alpha = (self.td.tbl.get_col(TD_ALPHA, rs.adx_fac * fld_td)
-                     - self.td.tbl.get_col(TD_ETA, rs.adx_fac * fld_td))
-            alpha = np.maximum(alpha, 0.0)
-        else:
-            alpha = self.td.tbl.get_col(TD_ALPHA, rs.adx_fac * fld_td)
-        alpha = alpha * gas_dens / rs.adx_fac
-
         lvls = t.lvl[ids]
         max_dx = np.array([t.lvl_dr(int(l)).max() for l in lvls])
         min_dx = np.array([t.lvl_dr(int(l)).min() for l in lvls])
         bshape = (n,) + (1,) * ndim
-        adx = alpha * max_dx.reshape(bshape)
+        if not isinstance(cc, np.ndarray):
+            flags = self._device_base_flags(cc, ids, interior,
+                                            max_dx).reshape(shape)
+        else:
+            fld, elec = self._fetch_criterion(cc, ids, interior)
+            fld = fld.reshape(shape)
+            elec = elec.reshape(shape)
+            gas_dens = self.gas.number_density
+            fld_td = fld * uc.SI_to_Townsend / gas_dens
+            if rs.use_alpha_effective:
+                alpha = (self.td.tbl.get_col(TD_ALPHA, rs.adx_fac * fld_td)
+                         - self.td.tbl.get_col(TD_ETA,
+                                               rs.adx_fac * fld_td))
+                alpha = np.maximum(alpha, 0.0)
+            else:
+                alpha = self.td.tbl.get_col(TD_ALPHA, rs.adx_fac * fld_td)
+            alpha = alpha * gas_dens / rs.adx_fac
+            adx = alpha * max_dx.reshape(bshape)
 
-        flags = np.full(shape, KEEP_REF, dtype=np.int64)
-        flags = np.where((adx > rs.adx) & (elec > rs.min_dens), DO_REF, flags)
-        flags = np.where((adx < 0.125 * rs.adx)
-                         & (max_dx.reshape(bshape) < rs.derefine_dx)
-                         & (flags == KEEP_REF), RM_REF, flags)
+            flags = np.full(shape, KEEP_REF, dtype=np.int64)
+            flags = np.where((adx > rs.adx) & (elec > rs.min_dens),
+                             DO_REF, flags)
+            flags = np.where((adx < 0.125 * rs.adx)
+                             & (max_dx.reshape(bshape) < rs.derefine_dx)
+                             & (flags == KEEP_REF), RM_REF, flags)
 
         # refine around the initial seeds (m_refine.f90:248-259),
         # vectorized over the flagged boxes (a python per-box loop here

@@ -53,6 +53,10 @@ def main():
         f"-input_data%file={ref}/td_air_siglo_swarm.txt",
         "-output%name=/tmp/bench/run",
         "-compiled%enabled=T", f"-compiled%dtype={dtype}",
+        # headroom so AMR growth never changes compiled shapes: one fused
+        # step unit compiles once (~minutes of remote XLA through the
+        # tunnel) instead of once per synchronized bucket doubling
+        "-compiled%prepad=4",
     ])
     setup_s = time.time() - t_setup
 

@@ -40,10 +40,12 @@ def test_compiled_1d_matches_golden(tmp_path):
     assert len(a) >= 2
     ok = np.isclose(a, b, rtol=1e-5, atol=1e-8)
     assert ok.all(), f"mismatch at {np.argwhere(~ok)[:5]}"
-    # it really ran compiled: jitted units exist and were used
+    # it really ran compiled: the fused step unit (or the per-unit
+    # fallback) exists and was used
     assert sim._compiled_on
-    assert any(hasattr(v, "_cache_size")
-               for v in sim.fluid._jit_units.values())
+    assert (getattr(sim, "_jit_fullstep", None)
+            or any(hasattr(v, "_cache_size")
+                   for v in sim.fluid._jit_units.values()))
 
 
 def test_compiled_cyl_matches_golden(tmp_path):
