@@ -155,7 +155,13 @@ def cached_plan(tree, key, builder, dtype=None, device=False):
         if dtype is not None and np.dtype(dtype) != np.float64:
             obj = cast_pack_floats(obj, dtype)
         if device:
-            obj = jax.device_put(obj)
+            # sharded production runs replicate every plan over the mesh
+            # (a single-device committed plan mixed with mesh-sharded
+            # state in one jit call is an error); unsharded runs place on
+            # the default device
+            sh = tree.__dict__.get("_replicate_sharding")
+            obj = jax.device_put(obj, sh) if sh is not None \
+                else jax.device_put(obj)
         cache[key] = obj
     uses[key] = tree.__dict__.get("_plan_cache_tick", 0)
     return cache[key]

@@ -303,6 +303,14 @@ class Simulation:
             "substeps, field solves, diagnostics) into ONE device "
             "dispatch; F falls back to per-unit dispatches with blocked "
             "per-phase timers (the profiling mode)")
+        self.compiled_shards = cfg.add_get(
+            "compiled%shards", 0,
+            "Shard the compiled run over this many devices (power of "
+            "two; 0 = single device): the SoA box axis is laid out over "
+            "a jax.sharding.Mesh, plans are replicated, and halo "
+            "gathers / multigrid transfers / reductions become XLA "
+            "collectives — the TPU-native analog of the reference's "
+            "OpenMP box-loop parallelism")
         self.compiled_prepad = cfg.add_get(
             "compiled%prepad", 1.0,
             "Bucket-headroom factor for the compiled engine: pad every "
@@ -568,12 +576,14 @@ class Simulation:
         # every capacity change recompiles ALL units (the trash row index
         # is baked in), so growth events must be rare.
         self.tree._prepad = float(self.compiled_prepad)
+        self._mesh_shardings()  # register the replicate-sharding early
         need = self.tree.highest_id + 2
         have = self.cc.shape[1] if self._compiled_on else 0
         if have == 0 and self.compiled_prepad > 1.0:
             need = int(np.ceil(need * self.compiled_prepad))
         cap = max(tp.bucket(need) if have == 0 or tp.bucket(need) <= have
-                  else tp.bucket(2 * need), have)
+                  else tp.bucket(2 * need), have,
+                  tp.bucket(max(self.compiled_shards, 0)))
         if self.cc.shape[1] != cap:
             if isinstance(self.cc, np.ndarray):
                 cc = np.zeros((self.cc.shape[0], cap, self.cc.shape[2]))
@@ -589,11 +599,17 @@ class Simulation:
             else:
                 # device state stays on device: capacity growth is one
                 # padded copy (cap = max(..., have) never shrinks here)
+                import jax
                 import jax.numpy as jnp
                 grow = cap - self.cc.shape[1]
                 self.cc = jnp.pad(self.cc, ((0, 0), (0, grow), (0, 0)))
                 self.fc = jnp.pad(self.fc,
                                   ((0, 0), (0, 0), (0, grow), (0, 0)))
+                cc_sh, fc_sh = self._mesh_shardings()
+                if cc_sh is not None:
+                    # re-lay the grown box axis over the mesh
+                    self.cc = jax.device_put(self.cc, cc_sh)
+                    self.fc = jax.device_put(self.fc, fc_sh)
         trash = cap - 1
         self.field.mg.enable_jit(pad=True, trash=trash)
         self.fluid.enable_jit(pad=True, trash=trash)
@@ -732,7 +748,8 @@ class Simulation:
                     n_rx_tot = 5 + n_rx
                     carry = (cc, fc, dtv, jnp.asarray(False),
                              jnp.asarray(0, jnp.int32),
-                             jnp.asarray(uc.huge_real, f64),
+                             jnp.asarray(1e30, f64),  # huge_real overflows
+                             # TPU double-f32 f64 emulation (-> inf)
                              jnp.zeros(n_rx_tot, f64))
 
                     def cond(c):
@@ -788,13 +805,42 @@ class Simulation:
         return cache[key](self.cc, self.fc, dt, time, fl_pack, mg_pack,
                           mg_aux)
 
+    def _mesh_shardings(self):
+        """(cc, fc) NamedShardings over the box axis, or (None, None)
+        when compiled%shards is off. Builds the device mesh once and
+        registers the replicate-sharding that the plan cache uses for
+        every device-resident plan (core/treepack.cached_plan) — the
+        TPU-native scaling axis per SURVEY §5.8/§7: boxes over devices,
+        halo/transfer/reduction traffic as XLA collectives."""
+        if self.compiled_shards <= 1:
+            return None, None
+        if getattr(self, "_mesh", None) is None:
+            import jax
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+            devs = jax.devices()
+            n = min(self.compiled_shards, len(devs))
+            self._mesh = Mesh(np.array(devs[:n]), ("boxes",))
+            self._cc_sh = NamedSharding(self._mesh, P(None, "boxes"))
+            self._fc_sh = NamedSharding(self._mesh,
+                                        P(None, None, "boxes"))
+            self.tree._replicate_sharding = NamedSharding(self._mesh,
+                                                          P())
+        return self._cc_sh, self._fc_sh
+
     def _to_device(self):
         if isinstance(self.cc, np.ndarray):
+            import jax
             import jax.numpy as jnp
             dt = (jnp.float32 if self.compiled_dtype == "float32"
                   else jnp.float64)
-            self.cc = jnp.asarray(self.cc, dt)
-            self.fc = jnp.asarray(self.fc, dt)
+            cc_sh, fc_sh = self._mesh_shardings()
+            if cc_sh is not None:
+                self.cc = jax.device_put(jnp.asarray(self.cc, dt), cc_sh)
+                self.fc = jax.device_put(jnp.asarray(self.fc, dt), fc_sh)
+            else:
+                self.cc = jnp.asarray(self.cc, dt)
+                self.fc = jnp.asarray(self.fc, dt)
 
     def _to_host(self):
         if not isinstance(self.cc, np.ndarray):

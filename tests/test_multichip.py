@@ -95,3 +95,36 @@ def test_neighbor_gathers_cross_shards(tmp_path):
             if shard_of(b) != shard_of(nb):
                 crossing += 1
     assert crossing > 0, "no cross-shard neighbor copies in this mesh"
+
+
+@pytest.mark.slow
+def test_sharded_production_run_matches_unsharded(tmp_path):
+    """The PRODUCTION loop (Simulation.run: fused compiled steps, dt
+    control, refinement epochs with capacity growth and re-sharding)
+    executed over the 8-device mesh via ``-compiled%shards=8`` must
+    reproduce the unsharded compiled run's regression log. Spans real
+    AMR epochs: the 1D golden case refines every 2 steps, so the run
+    re-buckets plans and re-lays the grown box axis over the mesh
+    (driver._sync_capacity / _mesh_shardings). Reference analog: OpenMP
+    wraps the whole run (afivo/documentation/parallelization.md)."""
+    ref1 = "/root/reference/programs/standard_1d/tests"
+    argv = [f"{ref1}/test_1d.cfg", "-ndim=1",
+            f"-input_data%file={ref1}/td_air_siglo_swarm.txt",
+            "-compiled%enabled=T"]
+    end = "-end_time=0.3e-9"
+
+    sim_u = Simulation(argv=argv + [f"-output%name={tmp_path}/unsharded",
+                                    end])
+    sim_u.run()
+
+    sim_s = Simulation(argv=argv + [f"-output%name={tmp_path}/sharded",
+                                    end, "-compiled%shards=8"])
+    sim_s.run()
+    assert len(sim_s.cc.sharding.device_set) == 8
+
+    a = np.loadtxt(f"{tmp_path}/unsharded_rtest.log", skiprows=1)
+    b = np.loadtxt(f"{tmp_path}/sharded_rtest.log", skiprows=1)
+    assert a.shape == b.shape and len(a) >= 2
+    # sharded execution reorders f64 reductions (coarse solve, max |res|
+    # convergence control), so allow rounding-level noise only
+    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-10)
