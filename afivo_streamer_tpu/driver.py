@@ -581,9 +581,11 @@ class Simulation:
         have = self.cc.shape[1] if self._compiled_on else 0
         if have == 0 and self.compiled_prepad > 1.0:
             need = int(np.ceil(need * self.compiled_prepad))
+        # the capacity must be divisible by the CLAMPED mesh size (the
+        # requested compiled%shards may exceed the device count)
+        mesh_n = getattr(self, "_mesh_n", 0)
         cap = max(tp.bucket(need) if have == 0 or tp.bucket(need) <= have
-                  else tp.bucket(2 * need), have,
-                  tp.bucket(max(self.compiled_shards, 0)))
+                  else tp.bucket(2 * need), have, tp.bucket(mesh_n))
         if self.cc.shape[1] != cap:
             if isinstance(self.cc, np.ndarray):
                 cc = np.zeros((self.cc.shape[0], cap, self.cc.shape[2]))
@@ -657,7 +659,24 @@ class Simulation:
         mg_pack, mg_aux = mg._pack_and_ops(dtype=self.cc.dtype)
         integrator = self.dt_cfg.integrator
         cache = self.__dict__.setdefault("_jit_fullstep", {})
-        key = (trash, str(self.cc.dtype), integrator)
+        # the voltage configuration is baked into the trace via
+        # voltage_traced (mk_scal below): a mid-run mutation (e.g. a
+        # new-pulse user hook changing the applied voltage) must not be
+        # silently ignored by a cached executable
+        if field.field_table is not None:
+            import hashlib
+            vsrc = hashlib.blake2b(
+                np.ascontiguousarray(field.field_table[0]).tobytes()
+                + np.ascontiguousarray(field.field_table[1]).tobytes(),
+                digest_size=8).hexdigest()
+        else:
+            vsrc = float(field.field_voltage)
+        vcfg = (field.given_by, vsrc, float(field.field_rise_time),
+                float(field.field_pulse_width),
+                int(field.field_num_pulses),
+                float(field.field_pulse_period),
+                float(self.dt_cfg.safety_factor))
+        key = (trash, str(self.cc.dtype), integrator, vcfg)
         if key not in cache:
             steps = adv.SCHEMES[integrator]
             n_steps = adv.N_STEPS[integrator]
@@ -782,6 +801,10 @@ class Simulation:
                     (cc, fc, dt_used, rejected, n_att, dt_lim_min,
                      dvec) = jax.lax.while_loop(cond, wbody, carry)
 
+                    # field energy BEFORE the final solve: the reference
+                    # calls field_compute_energy on the last substep's
+                    # field, then field_compute (streamer.f90:296-321)
+                    f_energy = field_energy(cc)
                     # field for the accepted state at the new time
                     # (streamer.f90:321)
                     scal_f = mk_scal(tv + dt_used, 0.0, cc.dtype)
@@ -793,7 +816,7 @@ class Simulation:
                             (n_att - jnp.logical_not(rejected)
                              .astype(jnp.int32)).astype(f64),
                             jnp.logical_not(rejected).astype(f64),
-                            field_energy(cc)]),
+                            f_energy]),
                         dvec[5:]])
                     return cc, fc, stats
                 finally:
@@ -820,6 +843,17 @@ class Simulation:
                                       PartitionSpec as P)
             devs = jax.devices()
             n = min(self.compiled_shards, len(devs))
+            if n & (n - 1):
+                # the mesh size must divide the power-of-two box-capacity
+                # axis or NamedSharding fails with an opaque divisibility
+                # error; round down and warn (compiled%shards docstring)
+                n2 = 1
+                while 2 * n2 <= n:
+                    n2 *= 2
+                print(f"compiled%shards: {n} devices usable is not a "
+                      f"power of two; using {n2}")
+                n = n2
+            self._mesh_n = n
             self._mesh = Mesh(np.array(devs[:n]), ("boxes",))
             self._cc_sh = NamedSharding(self._mesh, P(None, "boxes"))
             self._fc_sh = NamedSharding(self._mesh,
@@ -1322,6 +1356,13 @@ class Simulation:
                           f"{dt:.4E}")
                     write_out = False
                 time = time + dt
+                # refresh the host-side voltage at the ACCEPTED time: the
+                # trace evaluated it internally (voltage_traced), but the
+                # logged 'voltage' column and the Sato-current divisions
+                # below read current_voltage, which still holds the
+                # step-START value (the reference sets it via
+                # field_compute at the new time, streamer.f90:321)
+                self.field.set_voltage(time)
                 fraction_steps_rejected = 0.99 * fraction_steps_rejected
                 if n_rej > 0:
                     fraction_steps_rejected += 0.01
