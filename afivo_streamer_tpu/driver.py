@@ -746,12 +746,13 @@ class Simulation:
 
             def traced(cc, fc, dtv, tv, fl_pack, mg_pack, mg_aux):
                 old_f = fl._pack
-                ops, sm, extras = mg_aux
+                ops, sm, extras, blocks = mg_aux
                 old_m = (mg._pack, mg._pack_ops, mg._pack_sm,
-                         mg._pack_extras)
+                         mg._pack_extras, mg._pack_blocks)
                 fl._pack = fl_pack
                 (mg._pack, mg._pack_ops, mg._pack_sm,
-                 mg._pack_extras) = mg_pack, ops, sm, extras
+                 mg._pack_extras, mg._pack_blocks) = (
+                     mg_pack, ops, sm, extras, blocks)
                 try:
                     dtv = jnp.asarray(dtv, f64)
                     tv = jnp.asarray(tv, f64)
@@ -822,7 +823,7 @@ class Simulation:
                 finally:
                     fl._pack = old_f
                     (mg._pack, mg._pack_ops, mg._pack_sm,
-                     mg._pack_extras) = old_m
+                     mg._pack_extras, mg._pack_blocks) = old_m
 
             cache[key] = jax.jit(traced, donate_argnums=(0, 1))
         return cache[key](self.cc, self.fc, dt, time, fl_pack, mg_pack,

@@ -536,6 +536,33 @@ class FieldSolver:
                         (conv_fac / (dlen * min_dr)) * voltage))
         phi_b = scal.get("lsf_phi_b", 0.0)
 
+        from ..solvers import mg_blocks as mgb
+        if mgb.blocks_path_active(mg, cc):
+            # local-block fast path: the whole convergence-controlled
+            # solve runs on per-level block arrays; cc is read once
+            # (gather) and written once (scatter) — see mg_blocks.py
+            import os
+            interp = os.environ.get("AFIVO_PALLAS", "") == "interpret"
+            P, R = mgb.gather_levels(mg, cc)
+
+            def bcond(state):
+                _, _, res, k = state
+                return jnp.logical_and(k < max_v, res >= thr)
+
+            def bbody(state):
+                P, R, _, k = state
+                P, R = mgb.fas_vcycle_blocks(mg, P, R, scal, interp)
+                res = mgb.max_leaf_residual_blocks(mg, P, R)
+                return (P, R, res.astype(cc.dtype), k + 1)
+
+            P, R, res, _ = jax.lax.while_loop(
+                bcond, bbody,
+                (P, R, jnp.asarray(jnp.inf, cc.dtype),
+                 jnp.asarray(0, jnp.int32)))
+            cc = mgb.scatter_phi(mg, cc, P)
+            cc, fc = self.from_potential(cc, fc, scal)
+            return cc, fc, res
+
         def cond(state):
             _, res, k = state
             return jnp.logical_and(k < max_v, res >= thr)

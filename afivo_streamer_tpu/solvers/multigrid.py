@@ -304,6 +304,7 @@ class Multigrid:
         self._pack_ops = None
         self._pack_sm = None
         self._pack_extras = None
+        self._pack_blocks = None
         self._jit_units: Dict = {}
 
     # ----------------------------------------------------------- plumbing
@@ -892,6 +893,17 @@ def _pack_and_ops(self, dtype=None):
                         self.sides_bc, self.i_phi, trash),
                     dtype=dtype, device=True)
                 for l in range(1, L + 1))
+        blocks = None
+        if sm is not None and t.ndim == 2:
+            from .mg_blocks import LevelBlockPlan
+            blocks = tuple(
+                tp.cached_plan(
+                    t, ("mgblk", l, fp(t, l - 1), fp(t, l)) + base,
+                    lambda l=l: LevelBlockPlan(t, l, pad=pad,
+                                               trash=trash),
+                    dtype=dtype, device=True)
+                for l in range(1, L + 1))
+        cache["blocks"] = blocks
         extras = None
         if has_lsf or has_eps:
             extras = tuple(
@@ -903,7 +915,8 @@ def _pack_and_ops(self, dtype=None):
         cache["ops"] = ops
         cache["sm"] = sm
         cache["extras"] = extras
-    return pack, (cache["ops"], cache["sm"], cache["extras"])
+    return pack, (cache["ops"], cache["sm"], cache["extras"],
+                  cache["blocks"])
 
 
 def _build_level_extras(self, lvl: int, pad: bool, trash: int):
@@ -996,18 +1009,19 @@ def _run_unit(self, name, body, cc, params, *extra):
         pad, trash = self._jit_cfg
 
         def traced(cc, scal, pack, aux, *extra):
-            ops, sm, extras = aux
+            ops, sm, extras, blocks = aux
             old = (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-                   mgself._pack_extras)
+                   mgself._pack_extras, mgself._pack_blocks)
             (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-             mgself._pack_extras) = pack, ops, sm, extras
+             mgself._pack_extras, mgself._pack_blocks) = (
+                 pack, ops, sm, extras, blocks)
             try:
                 if pad:
                     cc = cc.at[:, trash].set(0.0)
                 return body(cc, scal, *extra)
             finally:
                 (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-                 mgself._pack_extras) = old
+                 mgself._pack_extras, mgself._pack_blocks) = old
 
         self._jit_units[name] = jax.jit(traced)
     return self._jit_units[name](cc, scal, pack, aux, *extra)
@@ -1017,6 +1031,15 @@ def jit_vcycle_res(self, cc, params):
     """One FAS V-cycle + masked max |residual| over the leaves."""
     def body(cc, scal):
         phi_b = scal.get("lsf_phi_b", 0.0)
+        from . import mg_blocks as mgb
+        if mgb.blocks_path_active(self, cc):
+            import os
+            interp = os.environ.get("AFIVO_PALLAS", "") == "interpret"
+            P, R = mgb.gather_levels(self, cc)
+            P, R = mgb.fas_vcycle_blocks(self, P, R, scal, interp)
+            res = mgb.max_leaf_residual_blocks(self, P, R)
+            cc = mgb.scatter_phi(self, cc, P)
+            return cc, res
         if self.lsf_data is None and self.eps_data is None:
             cc = self.fas_vcycle(cc, scal, set_residual=False)
             return self.residual_all_levels(cc, phi_b)
