@@ -39,6 +39,20 @@ def main():
     from afivo_streamer_tpu.core import reductions as red
 
     on_tpu = jax.default_backend() not in ("cpu",)
+
+    # standalone multigrid-cycle metric (BASELINE.json: V-cycle us/cell;
+    # the analog of afivo examples/poisson_benchmark.f90) — cheap, run
+    # first so the number lands in the artifact even on a partial run
+    poisson = None
+    if os.environ.get("BENCH_POISSON", "1") == "1":
+        try:
+            import sys
+            sys.path.insert(0, os.path.dirname(
+                os.path.abspath(__file__)) or ".")
+            from tools.poisson_bench import run as poisson_run
+            poisson = poisson_run()
+        except Exception as e:
+            poisson = {"error": str(e)[:200]}
     dtype = "float32" if on_tpu else "float64"
     ref = "/root/reference/programs/standard_2d/tests"
     # 2 ns covers inception + growth with real AMR (~700 adaptive
@@ -120,6 +134,7 @@ def main():
                 "wc_breakdown": dict(
                     {k: round(v, 1) for k, v in sim.wc.items() if v > 0.0},
                     other=round(max(0.0, wall - sum(sim.wc.values())), 1)),
+                "poisson_benchmark": poisson,
             },
         }
         print(json.dumps(result), flush=True)
