@@ -208,6 +208,9 @@ class LevelTables:
         # (af_cyl_volume_cc / af_cyl_flux_factors)
         dr = tree.lvl_dr(lvl)
         n = len(leaves)
+        # leaf-box lower corners [n, ndim]: traced geometry masks (e.g.
+        # the plasma-region cell mask) derive cell coordinates from these
+        self.leaf_r0 = tree.box_r_min(leaves).reshape(n, ndim)
         if tree.coord == "cyl":
             r0 = tree.box_r_min(leaves)[:, 0]
             i = np.arange(1, nc + 1)
@@ -241,6 +244,9 @@ class LevelTables:
             self.vol = pad_rows(self.vol, nb_leaves)
             if self.vol.shape[0] < nb_leaves:  # level with zero leaves
                 self.vol = np.zeros((nb_leaves, nc ** ndim))
+            self.leaf_r0 = pad_rows(self.leaf_r0, nb_leaves)
+            if self.leaf_r0.shape[0] < nb_leaves:
+                self.leaf_r0 = np.zeros((nb_leaves, ndim))
             if self.rfac_lo is not None:
                 self.rfac_lo = pad_rows(self.rfac_lo, nb_leaves)
                 self.rfac_hi = pad_rows(self.rfac_hi, nb_leaves)
@@ -348,7 +354,8 @@ register_plan(
 register_plan(
     LevelTables,
     dyn_fields=("ids", "leaves", "parents", "leaves_pos", "parents_pos",
-                "ids_valid", "leaf_valid", "vol", "rfac_lo", "rfac_hi"),
+                "ids_valid", "leaf_valid", "vol", "rfac_lo", "rfac_hi",
+                "leaf_r0"),
     # the true counts must NOT be pytree aux: they change at every
     # growth epoch, which would invalidate the jit cache (full retrace)
     # even when the bucketed shapes are unchanged. Traced code must use

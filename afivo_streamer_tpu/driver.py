@@ -382,6 +382,24 @@ class Simulation:
             if self.st.use_dielectric and self.i_eps >= 0:
                 eps_in = cc[self.i_eps, lv[:, None], interior[None, :]]
                 mask = mask & (jnp.abs(eps_in - 1.0) <= 1e-10)
+            if self.st.plasma_region_enabled:
+                # cell coordinates from the pack's leaf_r0 table (runtime
+                # argument, so the executable survives AMR epochs)
+                tb = self.fluid._tb(lvl)
+                dr = self.tree.lvl_dr(lvl)
+                r0 = jnp.asarray(tb.leaf_r0)
+                n = len(leaves)
+                inside = jnp.ones((n,) + (nc,) * ndim, bool)
+                i_cc = np.arange(1, nc + 1) - 0.5
+                for k in range(ndim):
+                    ck = (r0[:, k].reshape((n,) + (1,) * ndim)
+                          + jnp.asarray(i_cc * float(dr[k])).reshape(
+                              (1,) + tuple(nc if j == k else 1
+                                           for j in range(ndim))))
+                    inside = inside & (
+                        (ck >= self.st.plasma_region_rmin[k])
+                        & (ck <= self.st.plasma_region_rmax[k]))
+                mask = mask & inside.reshape(n, -1)
             return mask
         return self._level_mask_host(lvl)
 
@@ -562,12 +580,10 @@ class Simulation:
         bucket the state capacity to a power of two, reserve the last row
         as the trash box, and (re)wire the jitted units."""
         from .core import treepack as tp
-        if self.gasdyn is not None \
-                or self.st.use_dielectric or self.st.plasma_region_enabled \
-                or self.model.has_energy_equation:
+        if self.gasdyn is not None or self.st.use_dielectric:
             raise ValueError(
                 "compiled%enabled does not support gas dynamics/"
-                "dielectrics/plasma regions/energy model yet")
+                "dielectrics yet")
         # capacity with hysteresis: shrinking would change the state shape
         # and the trash row, clearing every compiled executable.
         # highest_id + 2: the trash row must never alias a real box (with

@@ -449,9 +449,6 @@ class FluidModel:
 
     # ------------------------------------------------- compiled plumbing
     def enable_jit(self, pad: bool = True, trash: int = 0):
-        if self.dielectric is not None or self.idx.i_electron_energy >= 0:
-            raise ValueError("compiled fluid path does not support "
-                             "dielectrics/energy model yet")
         if self._jit_cfg != (pad, trash):
             # the trash row index is baked into the traced closures
             self._jit_units.clear()

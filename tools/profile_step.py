@@ -56,6 +56,8 @@ def hlo_stats(jitfn, args):
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import jax
     jax.config.update("jax_enable_x64", True)
     try:
