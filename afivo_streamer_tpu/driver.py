@@ -115,11 +115,20 @@ class Simulation:
             self.i_srcfac = reg.add_cc("srcfac")
         self.i_lsf = reg.add_cc("lsf") if self.st.use_electrode else -1
         self.i_eps = -1
+        self.i_surf_photon = self.i_surf_sigma = -1
         if self.st.use_dielectric:
             self.i_eps = reg.add_cc("eps")
             reg.set_cc_methods(self.i_eps,
                                lambda iv, d, c, p: (gc.BC_NEUMANN, 0.0),
                                rb=gc.RB_PROLONG_COPY, prolong="zeroth")
+            # surface state as cc rows for the compiled engine: photon
+            # flux + sigma time states stored at the gas-side box row
+            # (solvers/surface.py SurfacePack); no gc/prolong methods —
+            # refinement moves surface data via update_after_refinement
+            self.i_surf_photon = reg.add_cc("surf_photon", write_out=False)
+            self.i_surf_sigma = reg.add_cc(
+                "surf_sigma", n_copies=self.dt_cfg.num_steps + 1,
+                write_out=False)
 
         # electron energy density (appended to the species list by the
         # chemistry module; flux variable 2, m_streamer.f90:244-269)
@@ -580,10 +589,9 @@ class Simulation:
         bucket the state capacity to a power of two, reserve the last row
         as the trash box, and (re)wire the jitted units."""
         from .core import treepack as tp
-        if self.gasdyn is not None or self.st.use_dielectric:
+        if self.gasdyn is not None:
             raise ValueError(
-                "compiled%enabled does not support gas dynamics/"
-                "dielectrics yet")
+                "compiled%enabled does not support gas dynamics yet")
         # capacity with hysteresis: shrinking would change the state shape
         # and the trash row, clearing every compiled executable.
         # highest_id + 2: the trash row must never alias a real box (with
@@ -635,6 +643,13 @@ class Simulation:
         # (per-mode lambda^2 multigrid); Monte-Carlo stays on the host
         self._photoi_compiled = self.photoi.enable_jit(pad=True,
                                                        trash=trash)
+        if self.surfaces is not None:
+            # in compiled mode the surface state is authoritative in the
+            # cc rows (solvers/surface.py SurfacePack); (re)push the host
+            # representation, which is current at every call site of
+            # _enable_compiled (startup / post-update_after_refinement)
+            self.cc = self.surfaces.sd_to_cc(
+                self.cc, self.i_surf_photon, self.i_surf_sigma)
         self._compiled_on = True
 
     def _fused_step_available(self) -> bool:
@@ -701,8 +716,14 @@ class Simulation:
             n_rx = self.chem.n_reactions
             nc, ndim = self.tree.nc, self.tree.ndim
             i_efld = self.i_electric_fld
-            src = np.asarray(self.all_densities + [self.i_phi], np.int32)
-            tgt = np.asarray([iv + n_states for iv in self.all_densities]
+            # the surface-charge state rides in cc rows (copy_current_
+            # state also copies the surface charge, streamer.f90:580-583)
+            surf_iv = ([self.i_surf_sigma] if self.dielectric is not None
+                       else [])
+            src = np.asarray(self.all_densities + surf_iv + [self.i_phi],
+                             np.int32)
+            tgt = np.asarray([iv + n_states for iv in
+                              self.all_densities + surf_iv]
                              + [self.i_phi + 1], np.int32)
             f64 = jnp.float64
 
@@ -761,14 +782,14 @@ class Simulation:
                 return 0.5 * uc.eps0 * tot
 
             def traced(cc, fc, dtv, tv, fl_pack, mg_pack, mg_aux):
-                old_f = fl._pack
-                ops, sm, extras, blocks = mg_aux
+                old_f = (fl._pack, fl._pack_surf)
+                ops, sm, extras, blocks, surf = mg_aux
                 old_m = (mg._pack, mg._pack_ops, mg._pack_sm,
-                         mg._pack_extras, mg._pack_blocks)
-                fl._pack = fl_pack
+                         mg._pack_extras, mg._pack_blocks, mg._pack_surf)
+                fl._pack, fl._pack_surf = fl_pack, surf
                 (mg._pack, mg._pack_ops, mg._pack_sm,
-                 mg._pack_extras, mg._pack_blocks) = (
-                     mg_pack, ops, sm, extras, blocks)
+                 mg._pack_extras, mg._pack_blocks, mg._pack_surf) = (
+                     mg_pack, ops, sm, extras, blocks, surf)
                 try:
                     dtv = jnp.asarray(dtv, f64)
                     tv = jnp.asarray(tv, f64)
@@ -837,9 +858,10 @@ class Simulation:
                         dvec[5:]])
                     return cc, fc, stats
                 finally:
-                    fl._pack = old_f
+                    fl._pack, fl._pack_surf = old_f
                     (mg._pack, mg._pack_ops, mg._pack_sm,
-                     mg._pack_extras, mg._pack_blocks) = old_m
+                     mg._pack_extras, mg._pack_blocks,
+                     mg._pack_surf) = old_m
 
             cache[key] = jax.jit(traced, donate_argnums=(0, 1))
         return cache[key](self.cc, self.fc, dt, time, fl_pack, mg_pack,
@@ -990,6 +1012,13 @@ class Simulation:
         flags_fn = (self.user.refine
                     if self.user.refine is not None
                     else lambda ids: self.refiner.cell_flags(self.cc, ids))
+        if (self.surfaces is not None and self._compiled_on
+                and not isinstance(self.cc, np.ndarray)):
+            # compiled mode: the cc rows hold the authoritative surface
+            # state; refresh the host sd arrays before the (host-side)
+            # surface prolong/restrict of this epoch
+            self.surfaces.cc_to_sd(self.cc, self.i_surf_photon,
+                                   self.i_surf_sigma)
         info = self.tree.adjust_refinement(
             flags_fn, ref_buffer=self.refine_cfg.buffer_width,
             ref_links=links)
@@ -1078,6 +1107,10 @@ class Simulation:
                                          self.chem, self.dt_cfg,
                                          i_eps=self.i_eps)
             self.field.surfaces = self.surfaces
+            self.field.mg.surfaces = self.surfaces
+            self.field.i_surf_sigma_cc = self.i_surf_sigma
+            self.dielectric.i_surf_photon_cc = self.i_surf_photon
+            self.dielectric.i_surf_sigma_cc = self.i_surf_sigma
             self.fluid.dielectric = self.dielectric
             if self.photoi.enabled and self.photoi.mc is not None:
                 self.photoi.mc.dielectric = self.dielectric
@@ -1188,6 +1221,11 @@ class Simulation:
                     interior[None, :]] = acc * uc.elec_charge
 
     def output_write(self, out_cnt: int, wc_time: float = 0.0):
+        if self.surfaces is not None and self._compiled_on:
+            # compiled mode: host consumers (surface integral in the log)
+            # read the sd arrays; refresh them from the cc rows
+            self.surfaces.cc_to_sd(self.cc, self.i_surf_photon,
+                                   self.i_surf_sigma)
         if self.compute_power_density:
             self._set_power_density()
         if self.output.regression_test:
@@ -1249,8 +1287,18 @@ class Simulation:
             cc = self.photoi.jit_set_src(self.cc, dt, params)
         else:
             was_device = not isinstance(self.cc, np.ndarray)
+            diel_sync = self.surfaces is not None and self._compiled_on
+            if diel_sync:
+                # MC photon deposition writes the host sd photon flux;
+                # bracket it with a cc<->sd round trip so the compiled
+                # engine's cc-resident surface state stays authoritative
+                self.surfaces.cc_to_sd(self.cc, self.i_surf_photon,
+                                       self.i_surf_sigma)
             self._to_host()
             cc = self.photoi.set_src(self.cc, dt, params)
+            if diel_sync:
+                cc = self.surfaces.sd_to_cc(cc, self.i_surf_photon,
+                                            self.i_surf_sigma)
             self.cc = cc
             if self._compiled_on and was_device:
                 self._to_device()
@@ -1577,8 +1625,12 @@ class Simulation:
         """copy_current_state (streamer.f90:571-583)."""
         if not isinstance(self.cc, np.ndarray):
             import jax
-            src = np.asarray(self.all_densities + [self.i_phi], np.int32)
-            tgt = np.asarray([iv + n_states for iv in self.all_densities]
+            surf_iv = ([self.i_surf_sigma] if self.dielectric is not None
+                       else [])
+            src = np.asarray(self.all_densities + surf_iv + [self.i_phi],
+                             np.int32)
+            tgt = np.asarray([iv + n_states for iv in
+                              self.all_densities + surf_iv]
                              + [self.i_phi + 1], np.int32)
             if not hasattr(self, "_jit_copy_rows"):
                 # donated: the row copy aliases in place instead of
@@ -1598,8 +1650,12 @@ class Simulation:
     def _restore_state(self, n_states: int, params):
         """restore_previous_state (streamer.f90:586-599)."""
         if not isinstance(self.cc, np.ndarray):
-            tgt = np.asarray(self.all_densities + [self.i_phi], np.int32)
-            src = np.asarray([iv + n_states for iv in self.all_densities]
+            surf_iv = ([self.i_surf_sigma] if self.dielectric is not None
+                       else [])
+            tgt = np.asarray(self.all_densities + surf_iv + [self.i_phi],
+                             np.int32)
+            src = np.asarray([iv + n_states for iv in
+                              self.all_densities + surf_iv]
                              + [self.i_phi + 1], np.int32)
             if not hasattr(self, "_jit_copy_rows"):
                 import jax

@@ -34,6 +34,10 @@ class Dielectric:
         self.idx_eps = i_eps
         self.flux_species_charge = None
         self.flux_pos_ion = []
+        # cc rows of the surface state (compiled engine; see
+        # solvers/surface.py SurfacePack), set by the driver
+        self.i_surf_photon_cc = -1
+        self.i_surf_sigma_cc = -1
         self.photon_step_length = cfg.add_get(
             "dielectric%photon_step_length", 1.0e-3,
             "Maximum travel distance for testing boundary intersection")

@@ -102,6 +102,7 @@ class FieldSolver:
         self.user_lsf_bc = None
         self.surfaces = None   # wired by the driver when use_dielectric
         self.i_surf_dens = 1   # photon flux = 0, charge = 1 (+ copies)
+        self.i_surf_sigma_cc = -1  # cc row of sigma (compiled engine)
         self.i_eps = -1
 
         # ------------------------------------------- electrode geometry
@@ -329,9 +330,15 @@ class FieldSolver:
         if self.surfaces is not None:
             # the reference always deposits the base-state surface charge
             # (field_set_rhs, m_field.f90:398-400)
-            cc = self.surfaces.charge_to_rhs(
-                cc, self.i_surf_dens, self.i_rhs,
-                -uc.elem_charge / uc.eps0)
+            if isinstance(cc, np.ndarray):
+                cc = self.surfaces.charge_to_rhs(
+                    cc, self.i_surf_dens, self.i_rhs,
+                    -uc.elem_charge / uc.eps0)
+            else:
+                from ..solvers import surface as sf
+                cc = sf.pack_charge_to_rhs(
+                    cc, self.mg._pack_surf, self.i_surf_sigma_cc,
+                    self.i_rhs, -uc.elem_charge / uc.eps0)
         return cc
 
     # ------------------------------------------------------------ solve
@@ -597,9 +604,15 @@ class FieldSolver:
         if self.lsf_data is not None:
             fc = self._lsf_gradient_correction(cc, fc, params)
         if self.surfaces is not None:
-            fc = self.surfaces.correct_field_fc(
-                cc, fc, self.i_surf_dens, self.fc_E, self.i_phi,
-                uc.elem_charge / uc.eps0)
+            if isinstance(cc, np.ndarray):
+                fc = self.surfaces.correct_field_fc(
+                    cc, fc, self.i_surf_dens, self.fc_E, self.i_phi,
+                    uc.elem_charge / uc.eps0)
+            else:
+                from ..solvers import surface as sf
+                cc, fc = sf.pack_correct_field_fc(
+                    cc, fc, self.mg._pack_surf, self.i_surf_sigma_cc,
+                    self.fc_E, self.i_phi, uc.elem_charge / uc.eps0)
         cc = self.mg.compute_field_norm(cc, fc, self.fc_E,
                                         self.i_electric_fld)
         # gc for the norm: neumann-zero bc + unlimited interpolation rb

@@ -444,6 +444,7 @@ class FluidModel:
         # compiled-path state (core/treepack.py): ambient epoch pack while
         # tracing, jitted units keyed by substep configuration
         self._pack = None
+        self._pack_surf = None     # SurfacePack while tracing (dielectric)
         self._jit_cfg = None
         self._jit_units = {}
 
@@ -1083,6 +1084,20 @@ class FluidModel:
         cc, dt_chem, diag = self.update_densities(
             cc, fc, dt_, s_deriv, list(s_prev), list(w_prev), s_out,
             last_step, scal)
+        if self.dielectric is not None and self._pack_surf is not None:
+            # surface charge from fluxes + SE + photon emission on the
+            # cc-resident surface state (forward_euler, m_fluid.f90:77-94)
+            from ..solvers import surface as sf
+            dl = self.dielectric
+            cc = sf.pack_update_surface_charge(
+                cc, fc, self._pack_surf, dt_, list(s_prev), list(w_prev),
+                s_out, dl.i_surf_sigma_cc, self.idx.i_electron,
+                self.idx.flux_fc, dl.flux_species_charge,
+                dl.flux_pos_ion, dl.gamma_se_ion)
+            cc = sf.pack_photon_emission(
+                cc, fc, self._pack_surf, dt_, s_out, dl.i_surf_photon_cc,
+                dl.i_surf_sigma_cc, self.idx.i_electron, self.idx.fc_E,
+                uc.elem_charge)
         return self._finish_substep(cc, fc, dt_cfl, dt_drt, dt_chem, diag)
 
     def _jit_flux_update(self, cc, fc, dt, s_deriv, s_prev, w_prev, s_out,
@@ -1095,12 +1110,17 @@ class FluidModel:
         pad, trash = self._jit_cfg
         pack = tp.get_epoch_pack(self.tree, pad=pad, trash=trash,
                                  with_gc2=True, dtype=cc.dtype)
+        spack = None
+        if self.dielectric is not None:
+            from ..solvers.surface import get_surface_pack
+            spack = get_surface_pack(self.dielectric.surf, pad, trash,
+                                     dtype=cc.dtype)
         key = ("fu", s_deriv, tuple(s_prev), tuple(float(w) for w in w_prev),
                s_out, last_step)
         if key not in self._jit_units:
-            def traced(cc, fc, dt_, scal, pack):
-                old = self._pack
-                self._pack = pack
+            def traced(cc, fc, dt_, scal, pack, spack):
+                old = (self._pack, self._pack_surf)
+                self._pack, self._pack_surf = pack, spack
                 try:
                     if pad:
                         cc = cc.at[:, trash].set(0.0)
@@ -1109,13 +1129,13 @@ class FluidModel:
                         cc, fc, dt_, scal, s_deriv, list(s_prev),
                         list(w_prev), s_out, last_step)
                 finally:
-                    self._pack = old
+                    self._pack, self._pack_surf = old
             self._jit_units[key] = jax.jit(traced)
         scal = {k: v for k, v in (params or {}).items()
                 if k in ("voltage", "lsf_phi_b", "dt_stiff")
                 and np.ndim(v) == 0}
         scal.setdefault("dt_stiff", 0.0)
-        return self._jit_units[key](cc, fc, dt, scal, pack)
+        return self._jit_units[key](cc, fc, dt, scal, pack, spack)
 
 
 def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0,

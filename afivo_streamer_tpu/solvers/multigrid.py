@@ -295,6 +295,7 @@ class Multigrid:
         self.subtract_mean = subtract_mean
         self.lsf_data = lsf_data
         self.eps_data = eps_data
+        self.surfaces = None  # wired by the driver when use_dielectric
         self._ops: Dict = {}
         self._coarse: Optional[CoarseSolver] = None
         self._coarse_epoch = -1
@@ -305,6 +306,7 @@ class Multigrid:
         self._pack_sm = None
         self._pack_extras = None
         self._pack_blocks = None
+        self._pack_surf = None
         self._jit_units: Dict = {}
 
     # ----------------------------------------------------------- plumbing
@@ -915,8 +917,14 @@ def _pack_and_ops(self, dtype=None):
         cache["ops"] = ops
         cache["sm"] = sm
         cache["extras"] = extras
+        surf = None
+        if self.surfaces is not None:
+            from .surface import get_surface_pack
+            surf = get_surface_pack(self.surfaces, pad, trash,
+                                    dtype=dtype)
+        cache["surf"] = surf
     return pack, (cache["ops"], cache["sm"], cache["extras"],
-                  cache["blocks"])
+                  cache["blocks"], cache["surf"])
 
 
 def _build_level_extras(self, lvl: int, pad: bool, trash: int):
@@ -1009,19 +1017,21 @@ def _run_unit(self, name, body, cc, params, *extra):
         pad, trash = self._jit_cfg
 
         def traced(cc, scal, pack, aux, *extra):
-            ops, sm, extras, blocks = aux
+            ops, sm, extras, blocks, surf = aux
             old = (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-                   mgself._pack_extras, mgself._pack_blocks)
+                   mgself._pack_extras, mgself._pack_blocks,
+                   mgself._pack_surf)
             (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-             mgself._pack_extras, mgself._pack_blocks) = (
-                 pack, ops, sm, extras, blocks)
+             mgself._pack_extras, mgself._pack_blocks,
+             mgself._pack_surf) = (pack, ops, sm, extras, blocks, surf)
             try:
                 if pad:
                     cc = cc.at[:, trash].set(0.0)
                 return body(cc, scal, *extra)
             finally:
                 (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-                 mgself._pack_extras, mgself._pack_blocks) = old
+                 mgself._pack_extras, mgself._pack_blocks,
+                 mgself._pack_surf) = old
 
         self._jit_units[name] = jax.jit(traced)
     return self._jit_units[name](cc, scal, pack, aux, *extra)

@@ -132,6 +132,25 @@ def test_compiled_1d_full_golden(tmp_path):
     assert compare(out + "_rtest.log", f"{REF1}/test_1d_rtest.log")
 
 
+def test_compiled_dielectric_matches_golden(tmp_path):
+    """Dielectrics through the compiled engine (VERDICT round-3 item 2):
+    the surface state rides in dedicated cc rows (solvers/surface.py
+    SurfacePack), surface charge deposits into the multigrid rhs and the
+    one-sided face field in-trace, and the surface-charge/SE/photon-
+    emission update runs inside the traced substep. The compiled run must
+    reproduce the reference golden prefix (test_dielectric_charge_2d,
+    2 output rows = 400 steps crossing the initial seed decay)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from golden_cases import CASES, run_and_compare
+    c = [x for x in CASES if x["case"] == "test_dielectric_charge_2d"][0]
+    n, bad_ref, bad_loose, _shape = run_and_compare(
+        c, tmp_path, end_time=20e-9,
+        extra=("-compiled%enabled=T", "-compiled%fused=F"))
+    assert n >= 24
+    assert bad_ref == 0, f"{bad_ref}/{n} entries exceed rtol=1e-5"
+
+
 def test_compiled_f32_tracks_f64_trajectory(tmp_path):
     """VERDICT item 5: >= 100 compiled f32 steps against the host f64
     trajectory, on a FROZEN mesh.

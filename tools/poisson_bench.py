@@ -12,9 +12,14 @@ embeds the numbers in the benchmark artifact.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 I_PHI, I_RHS, I_TMP = 0, 1, 2
