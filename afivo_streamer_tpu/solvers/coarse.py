@@ -198,7 +198,10 @@ class CoarseSolver:
                 rhs_boxes.ravel())
         # internal (level-set) boundary contribution: rhs + f * phi_b
         phi_b = params.get("lsf_phi_b", 0.0)
-        if np.ndim(phi_b) or phi_b != 0.0 or not isinstance(phi_b, float):
+        # order matters: a traced phi_b (the fused step's in-trace voltage)
+        # must short-circuit before any bool conversion of its value
+        if not isinstance(phi_b, (int, float)) or np.ndim(phi_b) \
+                or phi_b != 0.0:
             rhs = rhs + (xp.asarray(self.F, rhs.dtype)
                          * xp.asarray(self.BCC, rhs.dtype) * phi_b)
         # domain-boundary contributions
