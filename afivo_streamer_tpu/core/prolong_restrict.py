@@ -109,7 +109,12 @@ class ProlongRestrictPlan:
     children (a full level, or the newly added boxes of an epoch)."""
 
     def __init__(self, tree: Tree, child_ids, pad: bool = False,
-                 trash: int = 0):
+                 trash: int = 0, lvl: int = 0):
+        """``lvl`` (optional, padded mode): the children's level — lets an
+        EMPTY child set still emit all 2^ndim parity groups with padded
+        all-trash tables, so a phantom-level plan is structurally
+        identical to the real plan that level will eventually get
+        (core/treepack.py phantom_levels)."""
         ndim, nc = tree.ndim, tree.nc
         self.ndim, self.nc = ndim, nc
         self.coord = tree.coord
@@ -119,7 +124,7 @@ class ProlongRestrictPlan:
         for parity in itertools.product([0, 1], repeat=ndim):
             mask = np.all(parities == np.asarray(parity), axis=1)
             ch = child_ids[mask]
-            if len(ch) == 0:
+            if len(ch) == 0 and not (pad and lvl):
                 continue
             par = tree.parent[ch]
             tb = parity_tables(ndim, nc, parity)
@@ -147,11 +152,12 @@ class ProlongRestrictPlan:
             ch = ch.astype(np.int32)
             if pad:
                 from . import treepack as tp
-                lvl_ch = int(tree.lvl[ch[0]]) if len(ch) else 0
+                lvl_ch = int(tree.lvl[ch[0]]) if len(ch) else lvl
                 nb = tp.bucket_hwm(tree, ("pr", lvl_ch, parity), len(ch))
                 par = tp.pad_ids(par, nb, trash)
                 ch = tp.pad_ids(ch, nb, trash)
                 if cyl_w is not None:
+                    # empty (phantom) groups pad to all-zero weights
                     cyl_w = tp.pad_rows(cyl_w, nb)
                     self_cyl_corr = tp.pad_rows(self_cyl_corr, nb)
             self.groups.append((tb, par, ch, cyl_w, self_cyl_corr))

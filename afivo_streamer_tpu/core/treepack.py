@@ -66,6 +66,15 @@ def bucket_hwm(tree, key, n: int) -> int:
         # remote XLA compile on TPU; padded device work is nearly free
         # in the latency-bound regime (driver.compiled%prepad)
         b = bucket(int(np.ceil(n * tree.__dict__.get("_prepad", 1.0))))
+    # phantom levels (see phantom_levels below): every per-level case the
+    # new level COULD have must exist with at least the minimum bucket,
+    # even when the mirrored finest-level mark is zero — a newborn level
+    # often has cases its predecessor lacked (e.g. refinement boundaries
+    # on a side the old finest never exposed), and a missing case means a
+    # different pytree treedef, i.e. a wasted pre-compile
+    floors = tree.__dict__.get("_phantom_floor")
+    if floors and len(key) >= 2 and key[1] in floors:
+        b = max(b, 4)
     if b > old > 0:
         if tree.__dict__.get("_bucket_gen_epoch") != tree.epoch:
             tree._bucket_gen_epoch = tree.epoch
@@ -91,9 +100,14 @@ def pad_ids(a: np.ndarray, n_pad: int, trash: int) -> np.ndarray:
 
 def pad_rows(a: np.ndarray, n_pad: int) -> np.ndarray:
     """Pad a per-entry table along axis 0 by repeating the last row
-    (harmless: the padded entry's scatter targets the trash box)."""
-    if n_pad <= len(a) or len(a) == 0:
+    (harmless: the padded entry's scatter targets the trash box). An
+    EMPTY table pads with zeros: phantom-level plans (see
+    ``build_epoch_pack(phantom_levels=...)``) must produce the same
+    shapes an eventual real level will."""
+    if n_pad <= len(a):
         return a
+    if len(a) == 0:
+        return np.zeros((n_pad,) + a.shape[1:], a.dtype)
     reps = np.broadcast_to(a[-1:], (n_pad - len(a),) + a.shape[1:])
     return np.concatenate([a, reps], axis=0)
 
@@ -105,6 +119,66 @@ def pad_pos(a: np.ndarray, n_pad: int, pos: int) -> np.ndarray:
     out = np.full((n_pad,) + a.shape[1:], pos, a.dtype)
     out[:len(a)] = a
     return out
+
+
+# ---------------------------------------------------------------------------
+# phantom levels: pre-compiling the NEXT refinement level's executable
+#
+# When AMR adds a level, the epoch pack gains one entry per per-level list
+# and every compiled unit retraces (~minutes of remote XLA on TPU, the
+# round-3 "new-level compile cliff"). A *phantom* pack has the structure
+# the pack WILL have once level L+1 exists — the phantom level's plans are
+# built from an empty level, with their bucket marks seeded from level L's
+# so their table shapes equal what the real level-(L+1) plans will get
+# (new finest levels are born far smaller than the previous finest's
+# bucket). The driver uses a phantom pack to warm the fused-step
+# executable in a background thread; when the real level appears, the jit
+# cache already holds the executable. Production packs never carry
+# phantom levels — steady-state work is unchanged.
+# ---------------------------------------------------------------------------
+import contextlib
+
+
+def seed_phantom_marks(tree, src_lvl: int, dst_lvl: int) -> None:
+    """Mirror every bucket high-water mark of level ``src_lvl`` to
+    ``dst_lvl`` (never shrinking an existing mark). Mark keys are
+    ``(kind, lvl, ...)`` tuples throughout the package."""
+    hw = tree.__dict__.setdefault("_bucket_hwm", {})
+    for k, v in list(hw.items()):
+        if isinstance(k, tuple) and len(k) >= 2 and k[1] == src_lvl:
+            dk = (k[0], dst_lvl) + k[2:]
+            hw[dk] = max(hw.get(dk, 0), v)
+
+
+@contextlib.contextmanager
+def phantom_levels(tree, n: int):
+    """Temporarily append ``n`` empty levels to the tree's per-level id
+    lists so plan constructors can build inert plans for levels
+    ``highest_lvl+1 .. highest_lvl+n``. Seeds the phantom levels' bucket
+    marks from the current finest level (and the finest coarse-fine
+    coupling for the flux-matching groups)."""
+    L = tree.highest_lvl
+    floors = tree.__dict__.setdefault("_phantom_floor", set())
+    for k in range(1, n + 1):
+        seed_phantom_marks(tree, L, L + k)
+        floors.add(L + k)  # min-bucket every phantom-level case
+        # flux-matching groups key on the COARSE level of the coupling:
+        # the phantom coupling (L -> L+1) mirrors the (L-1 -> L) one
+        hw = tree.__dict__.setdefault("_bucket_hwm", {})
+        for d in range(2 * tree.ndim):
+            sk, dk = ("cons", L - 1, d), ("cons", L + k - 1, d)
+            if sk in hw:
+                hw[dk] = max(hw.get(dk, 0), hw[sk])
+        empty = np.zeros(0, np.int32)
+        tree.lvl_ids.append(empty)
+        tree.lvl_leaves.append(empty)
+        tree.lvl_parents.append(empty)
+    try:
+        yield
+    finally:
+        del tree.lvl_ids[-n:]
+        del tree.lvl_leaves[-n:]
+        del tree.lvl_parents[-n:]
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +304,13 @@ class LevelTables:
         if pad:
             nb_ids = bucket_hwm(tree, ("tb", lvl, "i"), len(ids))
             nb_leaves = bucket_hwm(tree, ("tb", lvl, "l"), len(leaves))
-            nb_parents = bucket_hwm(tree, ("tb", lvl, "p"), len(parents))
+            # parents min-bucket with headroom even on a childless (finest)
+            # level: when the NEXT level first appears, this level's
+            # parents table must not change shape (which would retrace
+            # every compiled unit past the phantom-level pre-compile,
+            # see phantom_levels above)
+            nb_parents = bucket_hwm(tree, ("tb", lvl, "p"),
+                                    max(len(parents), nb_ids // 8, 1))
             ids = pad_ids(ids, nb_ids, trash)
             leaves = pad_ids(leaves, nb_leaves, trash)
             parents = pad_ids(parents, nb_parents, trash)
@@ -529,19 +609,31 @@ def cast_pack_floats(obj, dtype):
 
 
 def build_epoch_pack(tree: Tree, pad: bool, trash: int, with_gc2: bool,
-                     dtype=None) -> EpochPack:
+                     dtype=None, phantom: int = 0) -> EpochPack:
     """Assemble an EpochPack from per-level cached plans: only levels whose
     topology fingerprint changed since the last build are rebuilt (and, in
-    compiled mode, device_put). See :func:`cached_plan`."""
+    compiled mode, device_put). See :func:`cached_plan`.
+
+    ``phantom > 0`` appends that many inert (empty, all-trash) levels
+    beyond ``highest_lvl``, structurally identical to the real plans the
+    next refinement level will produce (see :func:`phantom_levels`) — used
+    to pre-compile the next level's executables, never in production."""
     from ..physics.fluid import Gc2LevelPlan, build_consistent_plan
     dkey = None if dtype is None else np.dtype(dtype).str
+    if phantom > 0:
+        # the real levels' bucket marks must exist before the phantom
+        # context mirrors them (cheap: per-level plans are cached)
+        build_epoch_pack(tree, pad, trash, with_gc2, dtype=dtype)
+        with phantom_levels(tree, phantom):
+            return build_epoch_pack(tree, pad, trash, with_gc2,
+                                    dtype=dtype, phantom=-phantom)
     obj = None
     for _attempt in range(2):
         # a synchronized bucket doubling mid-build changes the shapes of
         # every padded table; restart so one pack is one generation
         # (doubling happens at most once per epoch, so pass 2 is stable)
         gen0 = tree.__dict__.get("_bucket_gen", 0)
-        L = tree.highest_lvl
+        L = tree.highest_lvl + max(-phantom, 0)
         base = (pad, trash, dkey, gen0 if pad else -1)
 
         def fp(l):
@@ -560,7 +652,8 @@ def build_epoch_pack(tree: Tree, pad: bool, trash: int, with_gc2: bool,
         obj.pr = [None] + [
             cached_plan(tree, ("pr", l, fp(l - 1), fp(l)) + base,
                         lambda l=l: pr.ProlongRestrictPlan(
-                            tree, tree.lvl_ids[l - 1], pad=pad, trash=trash),
+                            tree, tree.lvl_ids[l - 1], pad=pad, trash=trash,
+                            lvl=l),
                         dtype=dtype, device=pad)
             for l in range(2, L + 1)]
         obj.tables = [

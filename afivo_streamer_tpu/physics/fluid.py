@@ -18,6 +18,7 @@ fuses into a few kernels per level.
 
 from __future__ import annotations
 
+import threading as _threading
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
@@ -442,7 +443,11 @@ class FluidModel:
         self.dielectric = None     # wired when use_dielectric
         self.last_diag = {}
         # compiled-path state (core/treepack.py): ambient epoch pack while
-        # tracing, jitted units keyed by substep configuration
+        # tracing, jitted units keyed by substep configuration. The pack
+        # slots are THREAD-LOCAL (property block below the class): the
+        # driver warms next-level executables by tracing in a background
+        # thread concurrently with main-thread traces
+        self._pack_tls = _threading.local()
         self._pack = None
         self._pack_surf = None     # SurfacePack while tracing (dielectric)
         self._jit_cfg = None
@@ -569,17 +574,19 @@ class FluidModel:
                     # local energy approximation: mobility/diffusion from
                     # the face mean energy (flux_upwind, m_fluid.f90:159-168)
                     mean_en_f = u_f[:, 1] / xp.maximum(u_f[:, 0], 1.0)
-                    mu = self.td.ee_tbl.get_col(
-                        TD_EE_MOBILITY, mean_en_f) * N_inv_f
-                    dc = self.td.ee_tbl.get_col(
-                        TD_EE_DIFFUSION, mean_en_f) * N_inv_f
+                    mu, dc = self.td.ee_tbl.get_cols(
+                        (TD_EE_MOBILITY, TD_EE_DIFFUSION), mean_en_f)
+                    mu = mu * N_inv_f
+                    dc = dc * N_inv_f
                 else:
                     fld_lo = sl_faces(Bfld, 0, nc + 1, ghost=1)
                     fld_hi = sl_faces(Bfld, 1, nc + 1, ghost=1)
                     fld_face = (0.5 * (fld_lo + fld_hi)
                                 * uc.SI_to_Townsend * N_inv_f)
-                    mu = mob_tbl.get_col(TD_MOBILITY, fld_face) * N_inv_f
-                    dc = mob_tbl.get_col(TD_DIFFUSION, fld_face) * N_inv_f
+                    mu, dc = mob_tbl.get_cols(
+                        (TD_MOBILITY, TD_DIFFUSION), fld_face)
+                    mu = mu * N_inv_f
+                    dc = dc * N_inv_f
 
                 inv_dx = 1.0 / float(dr[d])
                 v_e = -mu * E_fc
@@ -1080,10 +1087,18 @@ class FluidModel:
         ambient epoch pack (self._pack) must be set by the caller —
         either _jit_flux_update below or the fused production step
         (driver._jit_full_step)."""
-        cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv, scal)
-        cc, dt_chem, diag = self.update_densities(
-            cc, fc, dt_, s_deriv, list(s_prev), list(w_prev), s_out,
-            last_step, scal)
+        import jax
+        # named scopes flow into the HLO op metadata, so a device-timeline
+        # profile of the fused step can be bucketed by stage (bench.py's
+        # device_breakdown; the reference's per-phase timers,
+        # src/m_streamer.f90:181-187)
+        with jax.named_scope("flux"):
+            cc, fc, dt_cfl, dt_drt = self.compute_fluxes(cc, fc, s_deriv,
+                                                         scal)
+        with jax.named_scope("source"):
+            cc, dt_chem, diag = self.update_densities(
+                cc, fc, dt_, s_deriv, list(s_prev), list(w_prev), s_out,
+                last_step, scal)
         if self.dielectric is not None and self._pack_surf is not None:
             # surface charge from fluxes + SE + photon emission on the
             # cc-resident surface state (forward_euler, m_fluid.f90:77-94)
@@ -1138,6 +1153,21 @@ class FluidModel:
         return self._jit_units[key](cc, fc, dt, scal, pack, spack)
 
 
+def _tls_prop(name):
+    """Thread-local ambient-pack slot (see solvers/multigrid.py:_tls_prop
+    — the warm thread traces concurrently with the main thread)."""
+    def fget(self):
+        return getattr(self._pack_tls, name, None)
+
+    def fset(self, v):
+        setattr(self._pack_tls, name, v)
+    return property(fget, fset)
+
+
+for _n in ("_pack", "_pack_surf"):
+    setattr(FluidModel, _n, _tls_prop(_n))
+
+
 def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0,
                           lvls=None):
     """Build the flux-matching groups (free function so the epoch pack
@@ -1168,6 +1198,17 @@ def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0,
         by_key: Dict = {}
         for lvl, d, nb, c in groups:
             by_key.setdefault((lvl, d), []).append((nb, c))
+        if pad:
+            # padded mode emits EVERY (lvl, d) group — empty ones as
+            # min-bucket all-trash tables. The group list's length is then
+            # a function of the level count alone, so epochs that gain or
+            # lose a direction's coarse-fine interfaces (and phantom
+            # levels, core/treepack.py) do not change the pack pytree
+            # structure — which would retrace every compiled unit.
+            all_lvls = (range(1, t.highest_lvl) if lvls is None else lvls)
+            for lvl in all_lvls:
+                for d in range(2 * ndim):
+                    by_key.setdefault((lvl, d), [])
         plan = []
         for (lvl, d), pairs in sorted(by_key.items()):
             dim, low = neighb_dim(d), neighb_low(d)
@@ -1189,7 +1230,8 @@ def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0,
                 off_all = (t.ix[p[1]] % 2) * hnc
                 offs.append([off_all[k] for k in range(t.ndim)
                              if k != dim])
-            offs = np.asarray(offs, np.int64).reshape(len(pairs), -1)
+            offs = (np.asarray(offs, np.int64).reshape(len(pairs), -1)
+                    if pairs else np.zeros((0, t.ndim - 1), np.int64))
             # build gather/scatter index arrays
             ndim_ = t.ndim
             if ndim_ == 1:
@@ -1254,7 +1296,10 @@ def build_consistent_plan(tree: Tree, pad: bool = False, trash: int = 0,
                             w = (1.0 - tmp) if bits[0] == 0 else (1.0 + tmp)
                             weights[si][pi] = w
             if pad:
-                nb_p = bucket_hwm(tree, ("cons", lvl, d), len(nbs))
+                # min-bucket 4 even when empty this epoch: the group must
+                # exist (all-trash) so the plan structure is stable
+                nb_p = bucket_hwm(tree, ("cons", lvl, d),
+                                  max(len(nbs), 1))
                 nbs = pad_ids(nbs, nb_p, trash)
                 chs = pad_ids(chs, nb_p, trash)
                 tgt_idx = pad_rows(tgt_idx, nb_p)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Optional
 
 import os
+import threading as _threading
 
 import numpy as np
 import jax
@@ -104,11 +105,17 @@ class LevelOp:
         if tree.coord == "cyl":
             # radial flux factors per box (dim 0 is r)
             r0 = tree.box_r_min(ids)[:, 0]
+            if len(ids) == 0:
+                # phantom (empty) level: one synthetic finite row — the
+                # padding repeats it, keeping the smoother's divisions by
+                # the center coefficient finite on all-trash rows
+                # (core/treepack.py phantom_levels)
+                r0 = np.array([float(nc) * dr[0]])
             i = np.arange(1, nc + 1)
             r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]  # [n, nc]
             rfac1 = (r_cc - 0.5 * dr[0]) / r_cc
             rfac2 = (r_cc + 0.5 * dr[0]) / r_cc
-            shape = (len(ids), nc) + (1,) * (ndim - 1)
+            shape = (len(r0), nc) + (1,) * (ndim - 1)
             c_lo = (rfac1 * c_nb[0]).reshape(shape)
             c_hi = (rfac2 * c_nb[1]).reshape(shape)
             c0 = c0 - (c_lo - c_nb[0]) - (c_hi - c_nb[1])
@@ -300,7 +307,11 @@ class Multigrid:
         self._coarse: Optional[CoarseSolver] = None
         self._coarse_epoch = -1
         # ambient epoch pack: set while tracing a compiled unit so every
-        # topology read below comes from the traced jit arguments
+        # topology read below comes from the traced jit arguments.
+        # THREAD-LOCAL (see the property block below the class): the
+        # driver warms next-level executables by tracing in a background
+        # thread concurrently with main-thread traces (driver._warm_*)
+        self._pack_tls = _threading.local()
         self._pack = None
         self._pack_ops = None
         self._pack_sm = None
@@ -843,6 +854,24 @@ class Multigrid:
 # ---------------------------------------------------------------------------
 # Compiled execution: jitted units over the epoch pack
 # ---------------------------------------------------------------------------
+def _tls_prop(name):
+    """Thread-local instance attribute backed by ``self._pack_tls``: the
+    ambient-pack slots are written inside traced closures, and the driver
+    traces next-level warm executables in a background thread while the
+    main thread keeps stepping (driver._warm_next_level)."""
+    def fget(self):
+        return getattr(self._pack_tls, name, None)
+
+    def fset(self, v):
+        setattr(self._pack_tls, name, v)
+    return property(fget, fset)
+
+
+for _n in ("_pack", "_pack_ops", "_pack_sm", "_pack_extras",
+           "_pack_blocks", "_pack_surf"):
+    setattr(Multigrid, _n, _tls_prop(_n))
+
+
 def _mg_jit_mixin():
     """Attached below to keep the class body above readable."""
 
@@ -925,6 +954,60 @@ def _pack_and_ops(self, dtype=None):
         cache["surf"] = surf
     return pack, (cache["ops"], cache["sm"], cache["extras"],
                   cache["blocks"], cache["surf"])
+
+
+def _phantom_pack_and_ops(self, dtype=None):
+    """(EpochPack, aux) with one PHANTOM level beyond ``highest_lvl`` —
+    the structures the next refinement level will produce (see
+    core/treepack.phantom_levels). Used by the driver to pre-compile the
+    next level's fused-step executable in the background; never for
+    production dispatch. Only the constant/cylindrical operators are
+    supported (the warm path is gated off for lsf/eps/surfaces)."""
+    pad, trash = self._jit_cfg
+    t = self.tree
+    assert self.lsf_data is None and self.eps_data is None \
+        and self.surfaces is None
+    dkey = None if dtype is None else np.dtype(dtype).str
+    pack = tp.build_epoch_pack(t, pad=pad, trash=trash, with_gc2=False,
+                               dtype=dtype, phantom=1)
+    gen = t.__dict__.get("_bucket_gen", 0) if pad else -1
+    base = (pad, trash, dkey, gen, float(self.lam), False, False)
+    fp = tp.level_fingerprint
+    L = t.highest_lvl
+    with tp.phantom_levels(t, 1):
+        ops = tuple(
+            tp.cached_plan(
+                t, ("mgop", l, fp(t, l)) + base,
+                lambda l=l: LevelOp(t, l, self.lam, None, None,
+                                    pad=pad, trash=trash),
+                dtype=dtype, device=True)
+            for l in range(1, L + 2))
+        sm = None
+        if pad and t.ndim in (2, 3):
+            from ..ops.pallas_smoother import (PackSmoother2D,
+                                               PackSmoother3D)
+            cls = PackSmoother2D if t.ndim == 2 else PackSmoother3D
+            smbase = base + (self.i_phi, id(self.sides_bc))
+            sm = tuple(
+                tp.cached_plan(
+                    t, ("mgsm", l, fp(t, l - 1), fp(t, l)) + smbase,
+                    lambda l=l: cls(
+                        t, l, gc.GcLevelPlan(t, l, pad=pad, trash=trash),
+                        tp.LevelTables(t, l, pad=pad, trash=trash),
+                        self.sides_bc, self.i_phi, trash),
+                    dtype=dtype, device=True)
+                for l in range(1, L + 2))
+        blocks = None
+        if sm is not None and t.ndim == 2:
+            from .mg_blocks import LevelBlockPlan
+            blocks = tuple(
+                tp.cached_plan(
+                    t, ("mgblk", l, fp(t, l - 1), fp(t, l)) + base,
+                    lambda l=l: LevelBlockPlan(t, l, pad=pad,
+                                               trash=trash),
+                    dtype=dtype, device=True)
+                for l in range(1, L + 2))
+    return pack, (ops, sm, None, blocks, None)
 
 
 def _build_level_extras(self, lvl: int, pad: bool, trash: int):
@@ -1089,6 +1172,7 @@ def jit_max_abs_leaves(self, cc, iv: int):
 
 
 Multigrid._pack_and_ops = _pack_and_ops
+Multigrid._phantom_pack_and_ops = _phantom_pack_and_ops
 Multigrid.enable_jit = enable_jit
 Multigrid._run_unit = _run_unit
 Multigrid.jit_vcycle_res = jit_vcycle_res
