@@ -305,13 +305,12 @@ class Tree:
                                                ref_links)
         return self._apply_flags(ref_flags)
 
-    def _consistent_ref_flags(self, cell_flag_fn, ref_buffer,
-                              ref_links) -> Dict[int, int]:
-        """Port of consistent_ref_flags (``m_af_core.f90:924-1012``)."""
-        flags: Dict[int, int] = {}
-
-        # Evaluate criterion on all leaves, and on every parent that has at
-        # least one leaf child (m_af_core.f90:955-985)
+    def criterion_eval_ids(self) -> np.ndarray:
+        """The box ids the refinement criterion is evaluated on: all
+        leaves plus every parent with at least one leaf child
+        (m_af_core.f90:955-985). Exposed so the driver can compute the
+        criterion flags for exactly these ids inside the fused
+        restrict+gc dispatch (driver.jit_restrict_gc_flags)."""
         eval_ids = list(self.all_leaves)
         parent_set = []
         seen = set()
@@ -320,7 +319,16 @@ class Tree:
             if p >= 0 and p not in seen:
                 seen.add(p)
                 parent_set.append(p)
-        eval_ids = np.asarray(eval_ids + parent_set, dtype=np.int64)
+        return np.asarray(eval_ids + parent_set, dtype=np.int64)
+
+    def _consistent_ref_flags(self, cell_flag_fn, ref_buffer,
+                              ref_links) -> Dict[int, int]:
+        """Port of consistent_ref_flags (``m_af_core.f90:924-1012``)."""
+        flags: Dict[int, int] = {}
+
+        # Evaluate criterion on all leaves, and on every parent that has at
+        # least one leaf child (m_af_core.f90:955-985)
+        eval_ids = self.criterion_eval_ids()
         if len(eval_ids) == 0:
             return flags
         cell_flags = np.asarray(cell_flag_fn(eval_ids))

@@ -10,6 +10,7 @@ field recomputation, and the computational cost breakdown.
 
 from __future__ import annotations
 
+import os
 import time as _time
 from typing import Dict, List, Optional
 
@@ -598,9 +599,6 @@ class Simulation:
         bucket the state capacity to a power of two, reserve the last row
         as the trash box, and (re)wire the jitted units."""
         from .core import treepack as tp
-        if self.gasdyn is not None:
-            raise ValueError(
-                "compiled%enabled does not support gas dynamics yet")
         # capacity with hysteresis: shrinking would change the state shape
         # and the trash row, clearing every compiled executable.
         # highest_id + 2: the trash row must never alias a real box (with
@@ -1068,6 +1066,58 @@ class Simulation:
             cache[key] = jax.jit(traced)
         return cache[key](self.cc, pack)
 
+    def jit_restrict_gc_flags(self):
+        """Refinement-epoch prologue as ONE dispatch + ONE small pull:
+        restrict + ghost fill of all densities AND the alpha*dx
+        refinement-criterion codes for the criterion's eval ids, fused
+        into a single compiled unit. The int8 code pull below is the
+        epoch's only blocked round trip when the topology does not
+        change (vs. two dispatches + a pull before; each blocked tunnel
+        round trip costs seconds on degraded link phases — measured
+        ~2.7 s/epoch against ~100 ms of device work, round-4 README)."""
+        import jax
+        import jax.numpy as jnp
+        from .core import treepack as tp
+        t = self.tree
+        pad, trash = self.fluid._jit_cfg
+        pack = tp.get_epoch_pack(t, pad=pad, trash=trash,
+                                 dtype=self.cc.dtype)
+        eval_ids = t.criterion_eval_ids()
+        interior = sp.interior_flat(t.ndim, t.nc)
+        n = len(eval_ids)
+        nb = 4
+        while nb < n:
+            nb *= 2
+        ids_p = np.full(nb, int(eval_ids[0]), np.int64)
+        ids_p[:n] = eval_ids
+        lvls = t.lvl[eval_ids]
+        max_dx = np.array([t.lvl_dr(int(l)).max() for l in lvls])
+        mdx_p = np.zeros(nb)
+        mdx_p[:n] = max_dx
+        cache = self.__dict__.setdefault("_jit_rgcf", {})
+        key = (trash, str(self.cc.dtype))
+        if key not in cache:
+            ivs = np.asarray(self.all_densities, np.int32)
+            bc = self.bc_species
+            refiner = self.refiner
+
+            def traced(cc, pack, ids, itr, mdx):
+                cc = cc.at[:, trash].set(0.0)
+                cc = pr.restrict_tree(cc, self.tree, ivs, pack=pack)
+                for lvl in range(1, pack.n_levels + 1):
+                    cc = gc.fill_ghosts_lvl(cc, pack.gc[lvl - 1], ivs,
+                                            gc.RB_INTERP_LIM, bc, {})
+                codes = refiner.base_flags_traced(cc, ids, itr, mdx)
+                return cc, codes
+
+            cache[key] = jax.jit(traced)
+        cc, codes = cache[key](self.cc, pack, ids_p, interior,
+                               jnp.asarray(mdx_p, self.cc.dtype))
+        codes = np.asarray(codes)[:n]  # the one blocked pull (int8)
+        self.refiner.staged_flags = (eval_ids,
+                                     self.refiner.codes_to_flags(codes))
+        return cc
+
     def _prolong_new_boxes_device(self, info):
         """Device-side auto_prolong: fill newly added boxes by prolongation
         and refresh the ghost layers of their levels, through ONE jitted
@@ -1110,9 +1160,104 @@ class Simulation:
                 plan = tp.cast_pack_floats(plan, dtype)
             self.cc = cache[key](self.cc, plan, pack.gc[lvl - 1], scal)
 
+    def _jit_epoch_epilogue(self, info, time):
+        """The refinement epoch's post-change work as ONE device
+        dispatch: prolongation into the new boxes of every added level
+        (+per-level ghost fill), the convergence-controlled field solve
+        at the new topology, and — when compiled Helmholtz photoi is
+        active — the photoionization source update. Replaces 3-6
+        separate dispatches; over a remote TPU link each blocked call
+        costs a full round trip (refine epochs measured at ~2.7 s
+        against ~100 ms of device work, round-4 README). Reference
+        sequence: streamer.f90:380-411."""
+        import jax
+        import jax.numpy as jnp
+        from contextlib import ExitStack
+        from .core import treepack as tp
+        from .solvers.multigrid import ambient_packs
+        fld = self.field
+        pad, trash = self.fluid._jit_cfg
+        dtype = self.cc.dtype
+        pack = tp.get_epoch_pack(self.tree, pad=True, trash=trash,
+                                 dtype=dtype)
+        mg_pack, mg_aux = fld.mg._pack_and_ops(dtype=dtype)
+        ph_on = (self.photoi.enabled
+                 and getattr(self, "_photoi_compiled", False))
+        ph_packs = ([mg._pack_and_ops(dtype=dtype)
+                     for mg in self.photoi.mgs] if ph_on else [])
+        plans = []
+        for lvl in sorted(info.added_per_lvl):
+            plan = pr.ProlongRestrictPlan(self.tree,
+                                          info.added_per_lvl[lvl],
+                                          pad=True, trash=trash)
+            if np.dtype(dtype) != np.float64:
+                plan = tp.cast_pack_floats(plan, dtype)
+            plans.append((plan, pack.gc[lvl - 1]))
+        plans = tuple(plans)
+        fld.set_voltage(time)
+        scal = {"voltage": fld.current_voltage}
+        if fld.lsf_data is not None:
+            scal["lsf_phi_b"] = (
+                1.0 if getattr(fld, "user_lsf_bc", None) is not None
+                else fld.current_voltage)
+        dt_ph = float(time - self._photoi_prev_time) if ph_on else 0.0
+        cache = self.__dict__.setdefault("_jit_epi", {})
+        key = (trash, str(dtype), len(plans), ph_on)
+        if key not in cache:
+            by_m = {}
+            for iv in self.registry.auto_vars:
+                m = self.registry.methods[iv]
+                k = (m["prolong"], m["rb"], id(m["bc"]))
+                by_m.setdefault(k, (m, []))[1].append(iv)
+            groups = tuple((m, tuple(ivs)) for m, ivs in by_m.values())
+            photoi = self.photoi
+            mgf = fld.mg
+
+            def traced(cc, fc, plans, scal, dt_ph, mg_pack, mg_aux,
+                       ph_packs):
+                with ExitStack() as stx:
+                    stx.enter_context(ambient_packs(mgf, mg_pack,
+                                                    mg_aux))
+                    if ph_on:
+                        for pmg, (pp, pa) in zip(photoi.mgs, ph_packs):
+                            stx.enter_context(ambient_packs(pmg, pp, pa))
+                    fc = fc.at[:, :, trash].set(0.0)
+                    for plan, gplan in plans:
+                        # re-zero trash before every level's prolong:
+                        # padded gather entries of the NEXT level's plan
+                        # read the trash row and expect zeros (the
+                        # per-level dispatches zeroed it each call)
+                        cc = cc.at[:, trash].set(0.0)
+                        for m, ivs in groups:
+                            cc = pr.prolong(cc, plan, list(ivs),
+                                            m["prolong"])
+                        for m, ivs in groups:
+                            cc = gc.fill_ghosts_lvl(cc, gplan, list(ivs),
+                                                    m["rb"], m["bc"],
+                                                    scal)
+                    cc = cc.at[:, trash].set(0.0)
+                    cc, fc, _res = fld._solve_body(cc, fc, scal, 0)
+                    if ph_on:
+                        cc = photoi._set_src_body(cc, scal, dt_ph)
+                return cc, fc
+
+            cache[key] = jax.jit(traced)
+        self.cc, self.fc = cache[key](self.cc, self.fc, plans, scal,
+                                      jnp.asarray(dt_ph), mg_pack,
+                                      mg_aux, ph_packs)
+        self.batch.cc, self.batch.fc = self.cc, self.fc
+        if ph_on:
+            self._photoi_prev_time = time
+
     # ---------------------------------------------------- refinement step
-    def adjust_refinement(self):
-        """af_adjust_refinement + data movement for new/removed boxes."""
+    def adjust_refinement(self, defer_device_prolong: bool = False):
+        """af_adjust_refinement + data movement for new/removed boxes.
+
+        With ``defer_device_prolong`` (the compiled run loop), the
+        device-side prolongation into new boxes is NOT dispatched here:
+        the caller fuses it with the post-change field solve and photoi
+        update into one dispatch (_jit_epoch_epilogue), cutting the
+        refinement epoch's device round trips."""
         self.refiner.time = self.global_time
         links = (self.surfaces.refinement_links()
                  if self.surfaces is not None else None)
@@ -1139,7 +1284,10 @@ class Simulation:
             # prolongation into new boxes, ghost fill) stays on device —
             # no full-state host round-trip per refinement epoch
             self._enable_compiled()
-            self._prolong_new_boxes_device(info)
+            if defer_device_prolong:
+                self._deferred_epoch_prolong = True
+            else:
+                self._prolong_new_boxes_device(info)
             self.batch.cc, self.batch.fc = self.cc, self.fc
             self.batch.tree = self.tree
             return info
@@ -1453,11 +1601,10 @@ class Simulation:
                 self._to_device()
             wc_time = _time.time() - t_start
             if wc_time - time_last_print > self.output.status_delay:
-                self._to_host()
+                # the status line reads only host-resident scalars and
+                # tree topology — no state round trip needed
                 self.output.status(self, wc_time)
                 time_last_print = wc_time
-                if self._compiled_on:
-                    self._to_device()
 
             # per-iteration user hook (streamer.f90:181-183)
             if self.user.generic is not None:
@@ -1671,11 +1818,14 @@ class Simulation:
             if self.it % self.refine_cfg.per_steps == 0:
                 if self._compiled_on and not isinstance(self.cc,
                                                         np.ndarray):
-                    # device restrict/gc; the refinement flags gather
-                    # only the 2 criterion variables to the host, and
-                    # the full state moves to the host only when the
+                    # device restrict/gc fused with the criterion-flag
+                    # evaluation: one dispatch, one small int8 pull; the
+                    # full state moves to the host only when the
                     # topology actually changes (adjust_refinement)
-                    self.cc = self.jit_restrict_gc_densities()
+                    if self.user.refine is None:
+                        self.cc = self.jit_restrict_gc_flags()
+                    else:
+                        self.cc = self.jit_restrict_gc_densities()
                 else:
                     self._to_host()
                     self.restrict_and_gc_densities()
@@ -1688,18 +1838,33 @@ class Simulation:
                             m = self.registry.methods[iv]
                             self.cc = gc.fill_ghosts_lvl(
                                 self.cc, plan, [iv], m["rb"], m["bc"], {})
-                info = self.adjust_refinement()
+                self._deferred_epoch_prolong = False
+                info = self.adjust_refinement(defer_device_prolong=True)
                 if info.n_add > 0 or info.n_rm > 0:
-                    if self._compiled_on:
-                        # re-bucket the capacity / trash row and rewire the
-                        # jitted units for the new topology
-                        self._enable_compiled()
-                        self._to_device()
-                    self.cc, self.fc = self.field.compute(
-                        self.cc, self.fc, 0, time, True)
-                    if self.photoi.enabled:
-                        self.cc = self._photoi_set_src(time)
-                if not isinstance(self.cc, np.ndarray):
+                    if self._deferred_epoch_prolong:
+                        # compiled path: prolong into new boxes + field
+                        # solve + (compiled) photoi in ONE dispatch
+                        self._jit_epoch_epilogue(info, time)
+                        if (self.photoi.enabled and not getattr(
+                                self, "_photoi_compiled", False)):
+                            self.cc = self._photoi_set_src(time)
+                    else:
+                        if self._compiled_on:
+                            # re-bucket the capacity / trash row and
+                            # rewire the jitted units for the new topology
+                            self._enable_compiled()
+                            self._to_device()
+                        self.cc, self.fc = self.field.compute(
+                            self.cc, self.fc, 0, time, True)
+                        if self.photoi.enabled:
+                            self.cc = self._photoi_set_src(time)
+                self._deferred_epoch_prolong = False
+                if not isinstance(self.cc, np.ndarray) and \
+                        os.environ.get("AFIVO_WC_SYNC", "0") == "1":
+                    # opt-in drain: attributes the epoch's device time to
+                    # wc["refine"] exactly, at the cost of one extra
+                    # blocked tunnel round trip per epoch; without it the
+                    # next step's stats pull absorbs the wait
                     import jax
                     jax.block_until_ready(self.cc)
             self.wc["refine"] += _time.time() - t1

@@ -472,15 +472,27 @@ class Chemistry:
         Te = None
         electron_eV_to_K = 2 * uc.elec_volt / (3 * uc.boltzmann_const)
         Tg = self.gas_temperature
+        # batch ALL tabulated lookups of one table into a single gather
+        # (shared interpolation location; separate per-reaction get_col
+        # calls were a measured hot spot of the fused TPU step)
+        tab_fld = {n: r.lookup_table_index for n, r in
+                   enumerate(self.reactions)
+                   if r.rate_type == RATE_TABULATED_FIELD}
+        tab_ee = {n: r.lookup_table_index for n, r in
+                  enumerate(self.reactions)
+                  if r.rate_type == RATE_TABULATED_ENERGY}
+        fld_vals = (dict(zip(tab_fld, self.chemtbl_fld.get_cols(
+            list(tab_fld.values()), fields))) if tab_fld else {})
+        ee_vals = (dict(zip(tab_ee, self.chemtbl_ee.get_cols(
+            list(tab_ee.values()), energy_eV))) if tab_ee else {})
         for n, r in enumerate(self.reactions):
             c0 = float(r.rate_factor)
             c = [float(v) for v in np.atleast_1d(r.rate_data)]
             rt = r.rate_type
             if rt == RATE_TABULATED_FIELD:
-                v = c0 * self.chemtbl_fld.get_col(r.lookup_table_index, fields)
+                v = c0 * fld_vals[n]
             elif rt == RATE_TABULATED_ENERGY:
-                v = c0 * self.chemtbl_ee.get_col(r.lookup_table_index,
-                                                 energy_eV)
+                v = c0 * ee_vals[n]
             elif rt == 2:
                 v = xp.full(ncells, c0 * c[0])
             elif rt == 3:

@@ -190,11 +190,41 @@ class Photoionization:
         return True
 
     def jit_set_src(self, cc, dt, params):
-        """photoi_set_src through the compiled engine: one jitted unit for
-        the source assembly + max|rhs|, then one convergence-controlled
-        unit per Helmholtz mode (lax.while_loop over FMG cycles) — no
-        host round-trip of the state (m_photoi.f90:140-187,
+        """photoi_set_src through the compiled engine as ONE dispatch:
+        source assembly + max|rhs| + every mode's convergence-controlled
+        Helmholtz solve (lax.while_loop over FMG cycles) in a single
+        jitted unit — no host round-trip of the state and no per-mode
+        dispatch latency over a remote TPU link (m_photoi.f90:140-187,
         m_photoi_helmh.f90:162-204)."""
+        import jax
+        import jax.numpy as jnp
+        from contextlib import ExitStack
+        from ..solvers.multigrid import ambient_packs
+        packs = [mg._pack_and_ops(dtype=cc.dtype) for mg in self.mgs]
+        scal = {k: v for k, v in (params or {}).items()
+                if k in ("voltage", "lsf_phi_b") and np.ndim(v) == 0}
+        cache = self.__dict__.setdefault("_jit_src_cache", {})
+        key = str(cc.dtype)
+        if key not in cache:
+            pad, trash = self.mgs[0]._jit_cfg
+            phself = self
+
+            def traced(cc, scal, dt_, packs):
+                with ExitStack() as st:
+                    for mg, (pack, aux) in zip(phself.mgs, packs):
+                        st.enter_context(ambient_packs(mg, pack, aux))
+                    if pad:
+                        cc = cc.at[:, trash].set(0.0)
+                    return phself._set_src_body(cc, scal, dt_)
+
+            cache[key] = jax.jit(traced)
+        return cache[key](cc, scal, jnp.asarray(float(dt or 0.0)), packs)
+
+    def _set_src_body(self, cc, scal, dt_):
+        """Traced body of the one-dispatch photoi source update; the
+        ambient packs of every mode's multigrid must be installed by the
+        caller — jit_set_src above or the fused refinement-epoch epilogue
+        (driver._jit_epoch_epilogue)."""
         import jax
         import jax.numpy as jnp
         from ..solvers.multigrid import blocks
@@ -253,8 +283,8 @@ class Photoionization:
                                   else np.sqrt(np.finfo(np.float64).eps))
             return cc, max_rhs
 
-        cc, max_rhs = mg0._run_unit("photoi_src", src_body, cc, params,
-                                    jnp.asarray(float(dt or 0.0)))
+        pad, trash = mg0._jit_cfg
+        cc, max_rhs = src_body(cc, scal, dt_)
 
         rel = float(self.max_rel_residual)
         for n in range(self.n_modes):
@@ -262,6 +292,11 @@ class Photoionization:
             coeff_n = float(self.coeffs[n])
 
             def mode_body(cc, scal, max_rhs, mg=mg, coeff_n=coeff_n):
+                # re-zero the trash row per mode (the former per-mode
+                # _run_unit dispatches did this before every body)
+                if pad:
+                    cc = cc.at[:, trash].set(0.0)
+
                 def cond(state):
                     _, res, k = state
                     return jnp.logical_and(k < 10, res / max_rhs >= rel)
@@ -286,8 +321,7 @@ class Photoionization:
                        - coeff_n * cc[mg.i_phi, leaves])
                 return cc.at[self.i_photo, leaves].set(upd)
 
-            cc = mg._run_unit(f"photoi_mode_{n}", mode_body, cc, params,
-                              max_rhs)
+            cc = mode_body(cc, scal, max_rhs)
         return cc
 
     # ------------------------------------------------------------ source

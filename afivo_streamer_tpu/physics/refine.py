@@ -133,6 +133,47 @@ class RefineCriterion:
         both = np.asarray(self._jit_fetch(cc, ids_p, interior))[:, :n]
         return both[0], both[1]
 
+    def base_flags_traced(self, cc, ids, itr, mdx):
+        """Traced alpha*dx criterion: LUT alpha, adx thresholds and the
+        derefine rule reduced to ONE int8 flag code per cell. Called
+        in-trace by the driver's fused restrict+gc+flags epoch dispatch
+        (driver.jit_restrict_gc_flags) and jitted standalone by
+        _device_base_flags below."""
+        import jax.numpy as jnp
+        rs = self.rs
+        gas_dens = float(self.gas.number_density)
+        iv2 = np.asarray([self.i_electric_fld, self.i_electron],
+                         np.int32)
+        both = cc[iv2[:, None, None], ids[None, :, None],
+                  itr[None, None, :]]
+        fld, elec = both[0], both[1]
+        fld_td = fld * (uc.SI_to_Townsend / gas_dens)
+        if rs.use_alpha_effective:
+            alpha = (self.td.tbl.get_col(TD_ALPHA,
+                                         rs.adx_fac * fld_td)
+                     - self.td.tbl.get_col(TD_ETA,
+                                           rs.adx_fac * fld_td))
+            alpha = jnp.maximum(alpha, 0.0)
+        else:
+            alpha = self.td.tbl.get_col(TD_ALPHA,
+                                        rs.adx_fac * fld_td)
+        adx = alpha * (gas_dens / rs.adx_fac) * mdx[:, None]
+        ref = (adx > rs.adx) & (elec > rs.min_dens)
+        # clamp the derefine_dx default (1e100) so the weak
+        # cast to f32 does not overflow-warn at trace time
+        drx = min(rs.derefine_dx, 3.0e38)
+        rm = ((adx < 0.125 * rs.adx)
+              & (mdx[:, None] < drx) & ~ref)
+        return (ref.astype(jnp.int8)
+                + 2 * rm.astype(jnp.int8))
+
+    def codes_to_flags(self, code):
+        """int8 criterion codes -> DO/KEEP/RM flag array (host)."""
+        flags = np.full(code.shape, KEEP_REF, dtype=np.int64)
+        flags[code == 1] = DO_REF
+        flags[code == 2] = RM_REF
+        return flags
+
     def _device_base_flags(self, cc, ids, interior, max_dx):
         """The alpha*dx criterion entirely on device: LUT alpha, adx
         thresholds, and the derefine rule reduce to ONE int8 flag code
@@ -141,37 +182,8 @@ class RefineCriterion:
         work stays on device)."""
         import jax
         import jax.numpy as jnp
-        rs = self.rs
         if not hasattr(self, "_jit_base_flags"):
-            gas_dens = float(self.gas.number_density)
-            iv2 = np.asarray([self.i_electric_fld, self.i_electron],
-                             np.int32)
-
-            def traced(cc, ids, itr, mdx):
-                both = cc[iv2[:, None, None], ids[None, :, None],
-                          itr[None, None, :]]
-                fld, elec = both[0], both[1]
-                fld_td = fld * (uc.SI_to_Townsend / gas_dens)
-                if rs.use_alpha_effective:
-                    alpha = (self.td.tbl.get_col(TD_ALPHA,
-                                                 rs.adx_fac * fld_td)
-                             - self.td.tbl.get_col(TD_ETA,
-                                                   rs.adx_fac * fld_td))
-                    alpha = jnp.maximum(alpha, 0.0)
-                else:
-                    alpha = self.td.tbl.get_col(TD_ALPHA,
-                                                rs.adx_fac * fld_td)
-                adx = alpha * (gas_dens / rs.adx_fac) * mdx[:, None]
-                ref = (adx > rs.adx) & (elec > rs.min_dens)
-                # clamp the derefine_dx default (1e100) so the weak
-                # cast to f32 does not overflow-warn at trace time
-                drx = min(rs.derefine_dx, 3.0e38)
-                rm = ((adx < 0.125 * rs.adx)
-                      & (mdx[:, None] < drx) & ~ref)
-                return (ref.astype(jnp.int8)
-                        + 2 * rm.astype(jnp.int8))
-
-            self._jit_base_flags = jax.jit(traced)
+            self._jit_base_flags = jax.jit(self.base_flags_traced)
         n = len(ids)
         nb = 4
         while nb < n:
@@ -202,7 +214,13 @@ class RefineCriterion:
         max_dx = np.array([t.lvl_dr(int(l)).max() for l in lvls])
         min_dx = np.array([t.lvl_dr(int(l)).min() for l in lvls])
         bshape = (n,) + (1,) * ndim
-        if not isinstance(cc, np.ndarray):
+        staged = self.__dict__.pop("staged_flags", None)
+        if staged is not None and np.array_equal(staged[0], ids):
+            # base flags precomputed inside the fused restrict+gc epoch
+            # dispatch (driver.jit_restrict_gc_flags): reuse — the epoch
+            # then costs ONE device round trip instead of two
+            flags = staged[1].reshape(shape)
+        elif not isinstance(cc, np.ndarray):
             flags = self._device_base_flags(cc, ids, interior,
                                             max_dx).reshape(shape)
         else:

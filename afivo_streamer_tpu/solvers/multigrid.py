@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional
 
+from contextlib import contextmanager
 import os
 import threading as _threading
 
@@ -1087,6 +1088,26 @@ def enable_jit(self, pad: bool = True, trash: int = 0):
     self.coarse_solver()  # build level-1 solver outside any trace
 
 
+@contextmanager
+def ambient_packs(mg, pack, aux):
+    """Install an epoch pack + per-level ops on ``mg`` for the duration
+    of a trace; every traced multigrid body (fas_vcycle, residuals, the
+    smoother) reads these ambient attributes instead of rebuilding host
+    tables. Shared by _run_unit, the fused production step
+    (driver._fused_fn) and the fused refinement-epoch epilogue."""
+    ops, sm, extras, blocks, surf = aux
+    old = (mg._pack, mg._pack_ops, mg._pack_sm, mg._pack_extras,
+           mg._pack_blocks, mg._pack_surf)
+    (mg._pack, mg._pack_ops, mg._pack_sm, mg._pack_extras,
+     mg._pack_blocks, mg._pack_surf) = (pack, ops, sm, extras, blocks,
+                                        surf)
+    try:
+        yield
+    finally:
+        (mg._pack, mg._pack_ops, mg._pack_sm, mg._pack_extras,
+         mg._pack_blocks, mg._pack_surf) = old
+
+
 def _run_unit(self, name, body, cc, params, *extra):
     """Dispatch a jitted unit: body(cc, scal, *extra) with the ambient
     pack set during tracing."""
@@ -1100,21 +1121,10 @@ def _run_unit(self, name, body, cc, params, *extra):
         pad, trash = self._jit_cfg
 
         def traced(cc, scal, pack, aux, *extra):
-            ops, sm, extras, blocks, surf = aux
-            old = (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-                   mgself._pack_extras, mgself._pack_blocks,
-                   mgself._pack_surf)
-            (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-             mgself._pack_extras, mgself._pack_blocks,
-             mgself._pack_surf) = (pack, ops, sm, extras, blocks, surf)
-            try:
+            with ambient_packs(mgself, pack, aux):
                 if pad:
                     cc = cc.at[:, trash].set(0.0)
                 return body(cc, scal, *extra)
-            finally:
-                (mgself._pack, mgself._pack_ops, mgself._pack_sm,
-                 mgself._pack_extras, mgself._pack_blocks,
-                 mgself._pack_surf) = old
 
         self._jit_units[name] = jax.jit(traced)
     return self._jit_units[name](cc, scal, pack, aux, *extra)

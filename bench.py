@@ -26,6 +26,55 @@ import time
 import numpy as np
 
 
+def _profile_breakdown(sim, n_steps=4):
+    """Run ``n_steps`` under jax.profiler and aggregate device-event time
+    by the named-scope stage annotations (fluid._flux_update_body,
+    driver._fused_fn). Returns {stage: ms_per_step} plus the total; the
+    analog of the reference's per-phase timers (src/m_streamer.f90:181-187)
+    without switching to the per-unit dispatch mode."""
+    import glob
+    import gzip
+    import jax
+    d = "/tmp/bench/profile"
+    it0 = sim.it
+    with jax.profiler.trace(d):
+        sim.run(max_steps=sim.it + n_steps)
+    n_done = max(sim.it - it0, 1)
+    files = glob.glob(d + "/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return {"error": "no trace produced"}
+    with gzip.open(max(files, key=os.path.getmtime), "rt") as fh:
+        tr = json.load(fh)
+    events = tr.get("traceEvents", [])
+    # device pids: process_name metadata mentioning TPU/device
+    dev_pids = set()
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            nm = str(ev.get("args", {}).get("name", "")).lower()
+            if "tpu" in nm or "device" in nm or "xla" in nm:
+                dev_pids.add(ev.get("pid"))
+    tags = ("flux", "source", "field", "vcycle", "smoother", "photoi",
+            "restrict", "prolong")
+    buckets = {}
+    total = 0
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        dur = ev.get("dur", 0)  # microseconds
+        total += dur
+        longname = (str(ev.get("args", {})) + "/"
+                    + str(ev.get("name", "")))
+        key = next((t for t in tags if t in longname), "other")
+        buckets[key] = buckets.get(key, 0) + dur
+    if total == 0:
+        return {"error": "no device events in trace"}
+    out = {k: round(v / 1e3 / n_done, 2)
+           for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])}
+    out["total_device_ms_per_step"] = round(total / 1e3 / n_done, 2)
+    out["profiled_steps"] = n_done
+    return out
+
+
 def main():
     t_setup = time.time()
     import jax
@@ -44,15 +93,6 @@ def main():
     # the analog of afivo examples/poisson_benchmark.f90) — cheap, run
     # first so the number lands in the artifact even on a partial run
     poisson = None
-    if os.environ.get("BENCH_POISSON", "1") == "1":
-        try:
-            import sys
-            sys.path.insert(0, os.path.dirname(
-                os.path.abspath(__file__)) or ".")
-            from tools.poisson_bench import run as poisson_run
-            poisson = poisson_run()
-        except Exception as e:
-            poisson = {"error": str(e)[:200]}
     dtype = "float32" if on_tpu else "float64"
     ref = "/root/reference/programs/standard_2d/tests"
     # 2 ns covers inception + growth with real AMR (~700 adaptive
@@ -88,6 +128,7 @@ def main():
     sim.user.generic = per_step
 
     t0 = time.time()
+    device_breakdown = None
 
     def emit(partial):
         wall = time.time() - t0
@@ -127,6 +168,7 @@ def main():
                     float(np.percentile(w, 10)) * 1e3, 1)
                 if len(w) else None,
                 "setup_s": round(setup_s, 1),
+                "device_breakdown": device_breakdown,
                 # only buckets that apply to this run mode (compiled runs
                 # attribute the fused substep to "advance"; flux/source
                 # split exists on the host path only), plus the
@@ -170,6 +212,29 @@ def main():
         sim.run(end_time=end_time)
     except KeyboardInterrupt:
         partial = True
+
+    # post-run extras, each only if budget remains (they must not eat the
+    # production run's watchdog window — round-3's artifact lost ~250 s of
+    # horizon to pre-run extras):
+    # 1. device-timeline decomposition of a few more steps (VERDICT item:
+    #    per-stage shares without switching to the per-unit mode)
+    remaining = deadline - (time.time() - t_setup)
+    if os.environ.get("BENCH_PROFILE", "1") == "1" and remaining > 120:
+        try:
+            device_breakdown = _profile_breakdown(sim, n_steps=3)
+        except Exception as e:
+            device_breakdown = {"error": str(e)[:200]}
+    # 2. the standalone V-cycle metric (BASELINE.json: V-cycle us/cell)
+    remaining = deadline - (time.time() - t_setup)
+    if os.environ.get("BENCH_POISSON", "1") == "1" and remaining > 90:
+        try:
+            import sys
+            sys.path.insert(0, os.path.dirname(
+                os.path.abspath(__file__)) or ".")
+            from tools.poisson_bench import run as poisson_run
+            poisson = poisson_run()
+        except Exception as e:
+            poisson = {"error": str(e)[:200]}
     emit(partial)
 
 

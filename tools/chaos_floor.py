@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Measure the intrinsic sensitivity floor of a golden regression case.
+
+The straggler goldens (a handful of entries above rtol=1e-5 against the
+reference logs; see tests/golden_cases.py max_bad allowances) need a
+root cause. A reference-side rerun is impossible here (no Fortran
+toolchain), so this tool quantifies the CASE's own trajectory
+sensitivity instead: it runs OUR implementation twice — baseline, and
+with a relative seed-density perturbation of ``--eps`` (default 1e-12,
+i.e. f64 rounding-level) — and compares the two logs with the exact
+reference comparator (tools/compare_logs.py, np.isclose rtol=1e-5
+atol=1e-8, matching /root/reference/tools/compare_logs.py:13-28).
+
+If a rounding-level perturbation of the initial condition alone already
+produces as many >1e-5 entries as the golden comparison does, then no
+implementation difference is resolvable at the reference tolerance for
+those entries: the deviation sits at or under the case's chaos floor,
+and the committed max_bad allowance documents physics (exponential
+ionization growth amplifying last-bit noise), not a defect.
+
+Usage: python tools/chaos_floor.py test_dielectric_neg_2d [--eps 1e-12]
+Prints one JSON line per run: per-column max relative deviation between
+the two self-runs, the bad-entry count at the reference tolerance, and
+the same statistics for golden-vs-baseline for side-by-side reading.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def rel_dev(a, b):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = np.abs(a - b) / np.maximum(np.abs(b), 1e-300)
+    d[np.abs(a - b) <= 1e-8] = 0.0
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("case", help="golden case name, e.g. test_3d")
+    ap.add_argument("--eps", type=float, default=1e-12,
+                    help="relative seed-density perturbation")
+    ap.add_argument("--end-time", type=float, default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from golden_cases import CASES, case_paths
+    from afivo_streamer_tpu.driver import Simulation
+
+    c = [x for x in CASES if x["case"] == args.case]
+    if not c:
+        sys.exit(f"unknown case {args.case}")
+    c = c[0]
+    cfg, golden, data, user = case_paths(c)
+
+    def run(tag, extra=()):
+        out = os.path.join(tempfile.mkdtemp(prefix="chaos_"), tag)
+        argv = [cfg, f"-ndim={c['ndim']}", f"-output%name={out}"]
+        if data:
+            argv.append(f"-input_data%file={data}")
+        if user:
+            argv.append(f"-user%module={user}")
+        argv.extend(extra)
+        sim = Simulation(argv=argv)
+        sim.run(end_time=args.end_time)
+        return np.loadtxt(out + "_rtest.log", skiprows=1, ndmin=2), sim
+
+    base, sim = run("base")
+    # perturb every seed density by a relative eps (the smallest physical
+    # knob the config exposes; 1e-12 is ~10 ulp of f64 at these scales)
+    seeds = sim.init_cond.seed_density
+    pert_vals = " ".join(repr(float(v) * (1.0 + args.eps)) for v in seeds)
+    pert, _ = run("pert", (f"-seed_density={pert_vals}",))
+
+    ref = np.loadtxt(golden, skiprows=1, ndmin=2)
+    n = min(len(base), len(pert), len(ref))
+    base, pert, ref = base[:n], pert[:n], ref[:n]
+
+    with open(golden) as f:
+        cols = f.readline().split()
+
+    def stats(a, b):
+        bad = ~np.isclose(a, b, rtol=1e-5, atol=1e-8)
+        d = rel_dev(a, b)
+        worst = {}
+        for j in range(a.shape[1]):
+            if bad[:, j].any():
+                worst[cols[j]] = float(d[:, j].max())
+        return int(bad.sum()), worst
+
+    self_bad, self_worst = stats(pert, base)
+    gold_bad, gold_worst = stats(base, ref)
+    print(json.dumps({
+        "case": args.case, "eps": args.eps, "entries": int(base.size),
+        "self_bad_at_ref_tol": self_bad, "self_worst_cols": self_worst,
+        "golden_bad_at_ref_tol": gold_bad, "golden_worst_cols": gold_worst,
+        "conclusion": (
+            "chaos floor: a rounding-level IC perturbation alone exceeds "
+            "the reference tolerance in the same columns"
+            if self_bad >= gold_bad and self_bad > 0 else
+            "self-spread below golden deviation - implementation term "
+            "still resolvable" if gold_bad > 0 else "full pass")}))
+
+
+if __name__ == "__main__":
+    main()
