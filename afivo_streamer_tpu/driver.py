@@ -669,7 +669,39 @@ class Simulation:
                 and self.field.user_field_amplitude is None
                 and self.gasdyn is None)
 
-    def _jit_full_step(self, dt: float, time: float):
+    def _crit_args(self):
+        """Padded criterion-eval inputs for the fused step's in-trace
+        refinement prologue: the eval box ids (af criterion set,
+        m_af_core.f90:955-985) and their max grid spacings, padded to a
+        bucketed (high-water-marked) shape and device-resident, rebuilt
+        only when the topology epoch changes. Called BEFORE the epoch
+        pack is assembled so a bucket-generation doubling triggered by
+        the criterion table is seen by the pack build (one consistent
+        shape generation per dispatch)."""
+        import jax
+        from .core import treepack as tp
+        t = self.tree
+        key = (t.epoch, self.cc.shape[1], str(self.cc.dtype))
+        ca = self.__dict__.get("_crit_cache")
+        if ca is None or ca[0] != key:
+            eval_ids = t.criterion_eval_ids()
+            n = len(eval_ids)
+            nb = tp.bucket_hwm(t, ("crit", 0, "e"), n)
+            ids_p = np.full(nb, int(eval_ids[0]), np.int32)
+            ids_p[:n] = eval_ids
+            lvls = t.lvl[eval_ids]
+            mdx_p = np.zeros(nb, np.dtype(self.cc.dtype))
+            mdx_p[:n] = [t.lvl_dr(int(l)).max() for l in lvls]
+            sh = t.__dict__.get("_replicate_sharding")
+            ids_d, mdx_d = (jax.device_put((ids_p, mdx_p), sh)
+                            if sh is not None
+                            else jax.device_put((ids_p, mdx_p)))
+            ca = (key, eval_ids, ids_d, mdx_d)
+            self._crit_cache = ca
+        return ca[1], ca[2], ca[3]
+
+    def _jit_full_step(self, dt: float, time: float,
+                       epoch: bool = False):
         """ONE device dispatch for a full production time step
         (streamer.f90:251-343): temporal-state copy, the <=10-attempt
         rejection loop (``lax.while_loop``; on reject restore state and
@@ -678,16 +710,25 @@ class Simulation:
         diagnostics (dt limits, reaction rates, J.E, field energy) packed
         into one small f64 stats vector.
 
+        With ``epoch=True`` the step also runs the refinement epoch's
+        PROLOGUE in-trace behind a runtime flag (lax.cond): restrict +
+        ghost fill of all densities and the alpha*dx criterion codes
+        (streamer.f90:380-411 up to the af_adjust_refinement call), so a
+        refinement epoch costs ZERO device round trips beyond the step's
+        own stats pull — the codes ride back with the stats.
+
         Why: over a remote TPU link every blocked host sync costs a full
-        round trip (~29 ms measured); the per-unit path has 6-8 blocked
-        syncs per step and spent 342 ms/step at 18k cells where the
-        device computes for ~90 ms. The fused step leaves exactly one
-        blocked pull (the stats vector) per step. Voltage is evaluated
-        in-trace (field.voltage_traced) so rejected attempts see the
-        exact voltage of their shortened time step, as the reference
-        does via field_compute -> field_set_voltage."""
+        round trip (~29 ms measured; seconds on degraded phases); the
+        per-unit path has 6-8 blocked syncs per step and spent 342
+        ms/step at 18k cells where the device computes for ~90 ms. The
+        fused step leaves exactly one blocked pull per step. Voltage is
+        evaluated in-trace (field.voltage_traced) so rejected attempts
+        see the exact voltage of their shortened time step, as the
+        reference does via field_compute -> field_set_voltage."""
         import jax
+        import jax.numpy as jnp
         from .core import treepack as tp
+        eval_ids, crit_ids, crit_mdx = self._crit_args()
         fl_pack = tp.get_epoch_pack(self.tree, pad=self.fluid._jit_cfg[0],
                                     trash=self.fluid._jit_cfg[1],
                                     with_gc2=True, dtype=self.cc.dtype)
@@ -699,14 +740,16 @@ class Simulation:
         leaves, treedef = jax.tree_util.tree_flatten(
             (fl_pack, mg_pack, mg_aux))
         sig = (treedef, tuple(getattr(l, "shape", ()) for l in leaves),
-               self.cc.shape)
+               self.cc.shape, crit_ids.shape)
         if sig != self.__dict__.get("_fused_sig"):
             th = self.__dict__.get("_warm_thread")
             if th is not None and th.is_alive():
                 th.join()
             self._fused_sig = sig
-        return self._fused_fn()(self.cc, self.fc, dt, time, fl_pack,
-                                mg_pack, mg_aux)
+        cc, fc, stats, codes = self._fused_fn()(
+            self.cc, self.fc, dt, time, fl_pack, mg_pack, mg_aux,
+            jnp.asarray(bool(epoch)), crit_ids, crit_mdx)
+        return cc, fc, stats, codes, eval_ids
 
     def _fused_fn(self):
         """Build-or-reuse the jitted fused-step callable (one jit object
@@ -812,7 +855,29 @@ class Simulation:
                     tot = tot + jnp.sum(B * B * w)
                 return 0.5 * uc.eps0 * tot
 
-            def traced(cc, fc, dtv, tv, fl_pack, mg_pack, mg_aux):
+            ivs_all = np.asarray(self.all_densities, np.int32)
+            bc_sp = self.bc_species
+            interior_c = sp.interior_flat(ndim, nc)
+            refiner = self.refiner
+
+            def epoch_prologue(cc, fl_pack, crit_ids, crit_mdx):
+                """Refinement-epoch prologue in-trace: restrict + ghost
+                fill of all densities (streamer.f90:383-386) and the
+                alpha*dx criterion codes for the eval ids — one int8
+                code row per eval box rides back with the step stats."""
+                cc = cc.at[:, trash].set(0.0)
+                cc = pr.restrict_tree(cc, self.tree, ivs_all,
+                                      pack=fl_pack)
+                for lvl in range(1, fl_pack.n_levels + 1):
+                    cc = gc.fill_ghosts_lvl(cc, fl_pack.gc[lvl - 1],
+                                            ivs_all, gc.RB_INTERP_LIM,
+                                            bc_sp, {})
+                codes = refiner.base_flags_traced(cc, crit_ids,
+                                                  interior_c, crit_mdx)
+                return cc, codes
+
+            def traced(cc, fc, dtv, tv, fl_pack, mg_pack, mg_aux,
+                       epochv, crit_ids, crit_mdx):
                 old_f = (fl._pack, fl._pack_surf)
                 ops, sm, extras, blocks, surf = mg_aux
                 old_m = (mg._pack, mg._pack_ops, mg._pack_sm,
@@ -880,6 +945,15 @@ class Simulation:
                     with jax.named_scope("field"):
                         cc, fc, _res = field._solve_body(cc, fc, scal_f,
                                                          0)
+                    with jax.named_scope("refine_prologue"):
+                        cc, codes = jax.lax.cond(
+                            epochv,
+                            lambda cc: epoch_prologue(cc, fl_pack,
+                                                      crit_ids, crit_mdx),
+                            lambda cc: (cc, jnp.zeros(
+                                (crit_ids.shape[0], nc ** ndim),
+                                jnp.int8)),
+                            cc)
                     stats = jnp.concatenate([
                         jnp.stack([
                             dt_used, dt_lim_min, dvec[0], dvec[1],
@@ -889,7 +963,7 @@ class Simulation:
                             jnp.logical_not(rejected).astype(f64),
                             f_energy]),
                         dvec[5:]])
-                    return cc, fc, stats
+                    return cc, fc, stats, codes
                 finally:
                     fl._pack, fl._pack_surf = old_f
                     (mg._pack, mg._pack_ops, mg._pack_sm,
@@ -956,11 +1030,16 @@ class Simulation:
                                     phantom=1)
         mg_pack_ph, mg_aux_ph = self.field.mg._phantom_pack_and_ops(
             dtype=self.cc.dtype)
+        # criterion tables: level-independent bucket, so the production
+        # arrays already have the post-growth shapes (both lax.cond
+        # branches of the epoch prologue compile regardless of the flag)
+        _, crit_ids, crit_mdx = self._crit_args()
         cc, fc = jnp.copy(self.cc), jnp.copy(self.fc)  # donated by fn
 
         def go():
             try:
-                out = fn(cc, fc, dt, time, fl_ph, mg_pack_ph, mg_aux_ph)
+                out = fn(cc, fc, dt, time, fl_ph, mg_pack_ph, mg_aux_ph,
+                         jnp.asarray(True), crit_ids, crit_mdx)
                 jax.block_until_ready(out)
             except Exception as e:  # never take down the run
                 self._warmed.discard(wkey)  # allow a retry
@@ -1655,14 +1734,32 @@ class Simulation:
             use_fused = (self._compiled_on
                          and not isinstance(self.cc, np.ndarray)
                          and self._fused_step_available())
+            # when this iteration ends in a refinement epoch, fuse the
+            # epoch's prologue (restrict+gc+criterion codes) into the
+            # step dispatch: the epoch then adds zero tunnel round trips
+            # (streamer.f90:380-411; the codes ride back with the stats)
+            fused_epoch = (use_fused
+                           and self.it % self.refine_cfg.per_steps == 0
+                           and self.user.refine is None
+                           and self.gasdyn is None)
             if use_fused:
                 # the whole step (copy, attempts, substeps, field solves,
                 # diagnostics) is ONE dispatch; the stats pull below is
                 # the only blocked sync of the step
                 t1 = _time.time()
-                self.cc, self.fc, stats_dev = self._jit_full_step(dt,
-                                                                  time)
-                stats = np.asarray(stats_dev)
+                import jax
+                (self.cc, self.fc, stats_dev, codes_dev,
+                 eval_ids) = self._jit_full_step(dt, time, fused_epoch)
+                if fused_epoch:
+                    # one overlapped pull for both (device_get issues the
+                    # D2H copies together — no second round trip)
+                    stats, codes = jax.device_get((stats_dev, codes_dev))
+                    self.refiner.staged_flags = (
+                        eval_ids,
+                        self.refiner.codes_to_flags(
+                            codes[:len(eval_ids)]))
+                else:
+                    stats = np.asarray(stats_dev)
                 self.wc["advance"] += _time.time() - t1
                 # pre-compile the next refinement level's executable in
                 # the background (no-op once warmed for this structure)
@@ -1816,8 +1913,13 @@ class Simulation:
             # refinement every refine_per_steps (streamer.f90:380-411)
             t1 = _time.time()
             if self.it % self.refine_cfg.per_steps == 0:
-                if self._compiled_on and not isinstance(self.cc,
-                                                        np.ndarray):
+                if fused_epoch:
+                    # prologue (restrict+gc+criterion codes) already ran
+                    # inside the fused step; the staged flags are set —
+                    # nothing to dispatch or pull here
+                    pass
+                elif self._compiled_on and not isinstance(self.cc,
+                                                          np.ndarray):
                     # device restrict/gc fused with the criterion-flag
                     # evaluation: one dispatch, one small int8 pull; the
                     # full state moves to the host only when the

@@ -11,6 +11,12 @@ time over the run, which excludes the one-off jit compiles triggered in
 the first steps and at bucket-growing refinement epochs while still
 including the recurring refinement-epoch work.
 
+Artifact-completeness rules (VERDICT round-4 item 2): the standalone
+V-cycle metric (BASELINE.json; tools/poisson_bench.py) runs BEFORE the
+production loop, and the device-timeline breakdown is captured DURING
+the run (jax.profiler around a few steady-state steps, parsed on the
+spot) — so a watchdog-terminated partial run still carries both.
+
 vs_baseline anchors to the reference's own class of performance: the
 published afivo numbers (Teunissen & Ebert CPC 2018; BASELINE.md) put a
 32-thread OpenMP full streamer step at roughly 0.03-0.3 us/cell/step on
@@ -26,21 +32,15 @@ import time
 import numpy as np
 
 
-def _profile_breakdown(sim, n_steps=4):
-    """Run ``n_steps`` under jax.profiler and aggregate device-event time
-    by the named-scope stage annotations (fluid._flux_update_body,
+def _parse_trace(trace_dir, n_done):
+    """Aggregate device-event time from a jax.profiler trace directory by
+    the named-scope stage annotations (fluid._flux_update_body,
     driver._fused_fn). Returns {stage: ms_per_step} plus the total; the
     analog of the reference's per-phase timers (src/m_streamer.f90:181-187)
     without switching to the per-unit dispatch mode."""
     import glob
     import gzip
-    import jax
-    d = "/tmp/bench/profile"
-    it0 = sim.it
-    with jax.profiler.trace(d):
-        sim.run(max_steps=sim.it + n_steps)
-    n_done = max(sim.it - it0, 1)
-    files = glob.glob(d + "/**/*.trace.json.gz", recursive=True)
+    files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
     if not files:
         return {"error": "no trace produced"}
     with gzip.open(max(files, key=os.path.getmtime), "rt") as fh:
@@ -51,10 +51,11 @@ def _profile_breakdown(sim, n_steps=4):
     for ev in events:
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             nm = str(ev.get("args", {}).get("name", "")).lower()
-            if "tpu" in nm or "device" in nm or "xla" in nm:
+            if ("tpu" in nm or "device" in nm or "xla" in nm
+                    or "axon" in nm):
                 dev_pids.add(ev.get("pid"))
     tags = ("flux", "source", "field", "vcycle", "smoother", "photoi",
-            "restrict", "prolong")
+            "refine_prologue", "restrict", "prolong")
     buckets = {}
     total = 0
     for ev in events:
@@ -89,10 +90,24 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
 
-    # standalone multigrid-cycle metric (BASELINE.json: V-cycle us/cell;
-    # the analog of afivo examples/poisson_benchmark.f90) — cheap, run
-    # first so the number lands in the artifact even on a partial run
+    # standalone multigrid-cycle metric FIRST (BASELINE.json: V-cycle
+    # us/cell; the analog of afivo examples/poisson_benchmark.f90) so the
+    # number is in the artifact even when the watchdog terminates the
+    # production run (VERDICT round-4 item 2: the post-run placement made
+    # it structurally dead on every partial run)
     poisson = None
+    if os.environ.get("BENCH_POISSON", "1") == "1":
+        try:
+            import sys
+            sys.path.insert(0, os.path.dirname(
+                os.path.abspath(__file__)) or ".")
+            t_p = time.time()
+            from tools.poisson_bench import run as poisson_run
+            poisson = poisson_run()
+            poisson["bench_wall_s"] = round(time.time() - t_p, 1)
+        except Exception as e:
+            poisson = {"error": str(e)[:200]}
+
     dtype = "float32" if on_tpu else "float64"
     ref = "/root/reference/programs/standard_2d/tests"
     # 2 ns covers inception + growth with real AMR (~700 adaptive
@@ -114,21 +129,41 @@ def main():
     ])
     setup_s = time.time() - t_setup
 
-    # per-step wall clock and cell count via the per-iteration user hook
+    # per-step wall clock and cell count via the per-iteration user hook;
+    # the same hook drives the IN-RUN device-timeline capture: a few
+    # steady-state steps (covering refinement epochs) are traced and the
+    # trace parsed immediately, so the breakdown exists on partial runs
     step_wall = []
     step_cells = []
     last = [time.time()]
+    prof = {"phase": "idle", "start_it": 0, "result": None,
+            "dir": "/tmp/bench/profile", "n": 4,
+            "at_it": int(os.environ.get("BENCH_PROFILE_AT", "61")),
+            "on": os.environ.get("BENCH_PROFILE", "1") == "1"}
 
     def per_step(s, time_now):
         now = time.time()
         step_wall.append(now - last[0])
-        last[0] = now
         step_cells.append(red.n_leaf_cells(s.tree))
+        if prof["on"]:
+            try:
+                if prof["phase"] == "idle" and s.it >= prof["at_it"]:
+                    jax.profiler.start_trace(prof["dir"])
+                    prof["phase"] = "tracing"
+                    prof["start_it"] = s.it
+                elif (prof["phase"] == "tracing"
+                        and s.it >= prof["start_it"] + prof["n"]):
+                    jax.profiler.stop_trace()
+                    prof["phase"] = "done"
+                    prof["result"] = _parse_trace(prof["dir"], prof["n"])
+            except Exception as e:
+                prof["phase"] = "done"
+                prof["result"] = {"error": str(e)[:200]}
+        last[0] = time.time()
 
     sim.user.generic = per_step
 
     t0 = time.time()
-    device_breakdown = None
 
     def emit(partial):
         wall = time.time() - t0
@@ -168,7 +203,7 @@ def main():
                     float(np.percentile(w, 10)) * 1e3, 1)
                 if len(w) else None,
                 "setup_s": round(setup_s, 1),
-                "device_breakdown": device_breakdown,
+                "device_breakdown": prof["result"],
                 # only buckets that apply to this run mode (compiled runs
                 # attribute the fused substep to "advance"; flux/source
                 # split exists on the host path only), plus the
@@ -195,7 +230,8 @@ def main():
     # degraded TPU tunnel that can be minutes, so the handler above may
     # never run before SIGKILL. A daemon watchdog guarantees the JSON
     # line: at the deadline it emits the partial result from whatever
-    # steps completed and hard-exits.
+    # steps completed and hard-exits. The pre-run poisson metric and the
+    # in-run profile are already bound to `poisson`/`prof` by then.
     import threading
 
     deadline = float(os.environ.get("BENCH_WATCHDOG_S", "1500"))
@@ -212,29 +248,6 @@ def main():
         sim.run(end_time=end_time)
     except KeyboardInterrupt:
         partial = True
-
-    # post-run extras, each only if budget remains (they must not eat the
-    # production run's watchdog window — round-3's artifact lost ~250 s of
-    # horizon to pre-run extras):
-    # 1. device-timeline decomposition of a few more steps (VERDICT item:
-    #    per-stage shares without switching to the per-unit mode)
-    remaining = deadline - (time.time() - t_setup)
-    if os.environ.get("BENCH_PROFILE", "1") == "1" and remaining > 120:
-        try:
-            device_breakdown = _profile_breakdown(sim, n_steps=3)
-        except Exception as e:
-            device_breakdown = {"error": str(e)[:200]}
-    # 2. the standalone V-cycle metric (BASELINE.json: V-cycle us/cell)
-    remaining = deadline - (time.time() - t_setup)
-    if os.environ.get("BENCH_POISSON", "1") == "1" and remaining > 90:
-        try:
-            import sys
-            sys.path.insert(0, os.path.dirname(
-                os.path.abspath(__file__)) or ".")
-            from tools.poisson_bench import run as poisson_run
-            poisson = poisson_run()
-        except Exception as e:
-            poisson = {"error": str(e)[:200]}
     emit(partial)
 
 

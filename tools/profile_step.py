@@ -154,7 +154,8 @@ def main():
     put(restrict_gc_ms=round(t_r * 1e3, 1))
 
     def fused():
-        cc, fc, stats = sim._jit_full_step(sim.global_dt, sim.global_time)
+        cc, fc, stats, _codes, _ids = sim._jit_full_step(
+            sim.global_dt, sim.global_time)
         sim.cc, sim.fc = cc, fc
         return stats
     # dispatch-only (no block) vs blocked
