@@ -330,6 +330,105 @@ def _fill_2d(phi3, A, g, W, nc: int, n: int, has_swap: bool,
     )(*gs, phi3, phi3, phi3, phi3, phi3, W, A)
 
 
+def _fill_sweep_2d(phi3, R, mask, A, g, W, cs, nc: int, n: int,
+                   interpret: bool = False):
+    """ONE kernel for a (ghost fill, red-black sweep) pair: each program
+    rebuilds its block's side ghosts from the neighbors' current edge
+    slabs (exactly ``_fill_2d``; neighbor interiors are post-previous-
+    half-sweep, which is what the separate fill read too) and then
+    applies the red-black interior update (exactly ``_sweep_2d``) on the
+    freshly filled block. Halves the smoother's program count per half
+    sweep — the block V-cycle was measured kernel-launch bound (~0.2 ms
+    per (sweep, fill) pair against ~us of vector work; round-4 README).
+    No parity-swap (veps) terms: pack mode never sets them (the legacy
+    baked mode keeps the separate kernels)."""
+    C = nc + 2
+
+    def kernel(g0, g1, g2, g3, g4, own_ref, nb0_ref, nb1_ref,
+               nb2_ref, nb3_ref, W_ref, A_ref, cs_ref, R_ref, M_ref,
+               o_ref):
+        B = own_ref[0]
+        nbs = (nb0_ref[0], nb1_ref[0], nb2_ref[0], nb3_ref[0])
+        slabs = _edge_slabs_2d(nc)
+        rows = []
+        cols = []
+        for d, s in enumerate(slabs):
+            nb = nbs[d]
+            if s["axis"] == 0:
+                slab = nb[s["nb_row"], 1:nc + 1]
+                f1 = B[s["f1_row"], 1:nc + 1]
+                f2 = B[s["f2_row"], 1:nc + 1]
+            else:
+                slab = nb[1:nc + 1, s["nb_row"]]
+                f1 = B[1:nc + 1, s["f1_row"]]
+                f2 = B[1:nc + 1, s["f2_row"]]
+            w = W_ref[0, d]
+            ghost = (w[0] * slab + w[1] * f1 + w[2] * f2
+                     + A_ref[0, d])
+            if s["axis"] == 0:
+                rows.append((s["g_row"], ghost))
+            else:
+                cols.append((s["g_row"], ghost))
+        row_lo = jnp.concatenate(
+            [B[0:1, 0:1], rows[0][1][None, :], B[0:1, nc + 1:]], 1)
+        row_hi = jnp.concatenate(
+            [B[nc + 1:, 0:1], rows[1][1][None, :],
+             B[nc + 1:, nc + 1:]], 1)
+        Bmid = B[1:nc + 1]
+        Bf = jnp.concatenate(
+            [row_lo,
+             jnp.concatenate([cols[0][1][:, None], Bmid[:, 1:nc + 1],
+                              cols[1][1][:, None]], 1),
+             row_hi], 0)
+        # red-black update on the filled block (see _sweep_2d)
+        c = cs_ref[0]
+        B0 = Bf[1:nc + 1, 1:nc + 1]
+        lphi = (c[5] * B0
+                + c[1] * (Bf[0:nc, 1:nc + 1] - B0)
+                + c[2] * (Bf[2:nc + 2, 1:nc + 1] - B0)
+                + c[3] * (Bf[1:nc + 1, 0:nc] - B0)
+                + c[4] * (Bf[1:nc + 1, 2:nc + 2] - B0))
+        new = B0 + (R_ref[0] - lphi) / c[0]
+        upd = jnp.where(M_ref[...] > 0, new, B0)
+        o_ref[0] = Bf
+        o_ref[0, 1:nc + 1, 1:nc + 1] = upd
+
+    gs = [jnp.asarray(g[:, k], jnp.int32) for k in range(5)]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g0[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g1[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g2[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g3[i], z(), z())),
+                pl.BlockSpec((1, C, C),
+                             lambda i, g0, g1, g2, g3, g4:
+                             (g4[i], z(), z())),
+                pl.BlockSpec((1, 4, 8), lambda i, *g: (i, z(), z())),
+                pl.BlockSpec((1, 4, nc), lambda i, *g: (i, z(), z())),
+                pl.BlockSpec((1, 6, nc, nc),
+                             lambda i, *g: (i, z(), z(), z())),
+                pl.BlockSpec((1, nc, nc), lambda i, *g: (i, z(), z())),
+                pl.BlockSpec((nc, nc), lambda i, *g: (z(), z())),
+            ],
+            out_specs=pl.BlockSpec((1, C, C), lambda i, *g: (i, z(), z())),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, C, C), phi3.dtype),
+        interpret=interpret,
+    )(*gs, phi3, phi3, phi3, phi3, phi3, W, A, cs, R, mask)
+
+
 class PallasSmoother3D:
     """Fused half sweep for 3D levels: same design as PallasSmoother2D
     with six neighbor blocks and 2D ghost faces written by direct
@@ -687,6 +786,13 @@ class PackSmoother2D:
         W = jnp.asarray(self.W).astype(phi3.dtype)
         return _fill_2d(phi3, A, self.g, W, self.nc, self.n, False,
                         interpret)
+
+    def fill_sweep(self, phi3, R, mask, A, cs, interpret: bool = False):
+        """One kernel for the (ghost fill, red-black sweep) pair — the
+        values are exactly fill(...) then sweep(...)."""
+        W = jnp.asarray(self.W).astype(phi3.dtype)
+        return _fill_sweep_2d(phi3, R, mask, A, self.g, W, cs, self.nc,
+                              self.n, interpret)
 
 
 def _register_pack_smoother():

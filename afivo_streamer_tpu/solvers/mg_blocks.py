@@ -365,12 +365,18 @@ def smooth_blocks(mg, lvl: int, P_l, R_l, A_l, cs_l, n_cycle: int,
         [_parity_mask(2, nc, k).astype(np.float32)
          for k in range(1, n_half + 1)]))
 
-    def body(p, mask):
-        p = sm.sweep(p, R_l, mask, cs_l, interpret=interp)
-        p = sm.fill(p, A_l, interpret=interp)
-        return p, None
+    # same op sequence as (sweep, fill) x n_half, with the interior
+    # (fill, sweep) pairs fused into ONE Pallas kernel each — halving
+    # the smoother's program count (the cycle is kernel-launch bound):
+    # sweep(1); [fill+sweep](2..n_half); fill
+    P_l = sm.sweep(P_l, R_l, masks[0], cs_l, interpret=interp)
+    if n_half > 1:
+        def body(p, mask):
+            p = sm.fill_sweep(p, R_l, mask, A_l, cs_l, interpret=interp)
+            return p, None
 
-    P_l, _ = jax.lax.scan(body, P_l, masks)
+        P_l, _ = jax.lax.scan(body, P_l, masks[1:])
+    P_l = sm.fill(P_l, A_l, interpret=interp)
     if up_cycle:
         P_l = corner_fill_blocks(P_l, mg._pack_blocks[lvl - 1], nc)
     return P_l
