@@ -221,7 +221,11 @@ def cached_plan(tree, key, builder, dtype=None, device=False):
 
     ``device=True`` stores the object device-resident (one device_put at
     build time; cache hits re-serve the same on-device arrays with zero
-    host->device traffic)."""
+    host->device traffic). Inside a :func:`plan_transfer_batch` scope the
+    device_put is DEFERRED and coalesced with every other plan built in
+    the scope into one transfer call — on a remote TPU link each
+    device_put is a round trip, and a topology-changing refinement epoch
+    otherwise issues one per rebuilt plan."""
     cache = tree.__dict__.setdefault("_plan_cache", {})
     uses = tree.__dict__.setdefault("_plan_cache_uses", {})
     if key not in cache:
@@ -229,16 +233,45 @@ def cached_plan(tree, key, builder, dtype=None, device=False):
         if dtype is not None and np.dtype(dtype) != np.float64:
             obj = cast_pack_floats(obj, dtype)
         if device:
-            # sharded production runs replicate every plan over the mesh
-            # (a single-device committed plan mixed with mesh-sharded
-            # state in one jit call is an error); unsharded runs place on
-            # the default device
-            sh = tree.__dict__.get("_replicate_sharding")
-            obj = jax.device_put(obj, sh) if sh is not None \
-                else jax.device_put(obj)
+            batch = tree.__dict__.get("_plan_put_batch")
+            if batch is not None:
+                batch.append((key, obj))
+            else:
+                # sharded production runs replicate every plan over the
+                # mesh (a single-device committed plan mixed with
+                # mesh-sharded state in one jit call is an error);
+                # unsharded runs place on the default device
+                sh = tree.__dict__.get("_replicate_sharding")
+                obj = jax.device_put(obj, sh) if sh is not None \
+                    else jax.device_put(obj)
         cache[key] = obj
     uses[key] = tree.__dict__.get("_plan_cache_tick", 0)
     return cache[key]
+
+
+@contextlib.contextmanager
+def plan_transfer_batch(tree):
+    """Coalesce every device-resident plan built in this scope into ONE
+    jax.device_put call (transfers overlap instead of paying one tunnel
+    round trip each). Re-entrant: inner scopes join the outermost."""
+    if tree.__dict__.get("_plan_put_batch") is not None:
+        yield  # already inside a batch scope
+        return
+    batch = []
+    tree._plan_put_batch = batch
+    try:
+        yield
+    finally:
+        tree._plan_put_batch = None
+        if batch:
+            cache = tree.__dict__.setdefault("_plan_cache", {})
+            keys = [k for k, _ in batch]
+            objs = [o for _, o in batch]
+            sh = tree.__dict__.get("_replicate_sharding")
+            objs = (jax.device_put(objs, sh) if sh is not None
+                    else jax.device_put(objs))
+            for k, o in zip(keys, objs):
+                cache[k] = o
 
 
 def plan_cache_tick(tree, keep: int = 8):
@@ -627,6 +660,25 @@ def build_epoch_pack(tree: Tree, pad: bool, trash: int, with_gc2: bool,
         with phantom_levels(tree, phantom):
             return build_epoch_pack(tree, pad, trash, with_gc2,
                                     dtype=dtype, phantom=-phantom)
+    if pad and tree.__dict__.get("_plan_put_batch") is None:
+        # coalesce every missing plan's device transfer into ONE call,
+        # then re-assemble from the (now device-resident) cache: on a
+        # remote TPU link each device_put costs a round trip, and a
+        # topology-changing epoch rebuilds several plans at once. The
+        # second pass is pure cache hits (batching is a no-op there
+        # because the scope below already closed and transferred).
+        with plan_transfer_batch(tree):
+            _build_epoch_pack_once(tree, pad, trash, with_gc2, dtype,
+                                   phantom)
+        return _build_epoch_pack_once(tree, pad, trash, with_gc2, dtype,
+                                      phantom)
+    return _build_epoch_pack_once(tree, pad, trash, with_gc2, dtype,
+                                  phantom)
+
+
+def _build_epoch_pack_once(tree, pad, trash, with_gc2, dtype, phantom):
+    from ..physics.fluid import Gc2LevelPlan, build_consistent_plan
+    dkey = None if dtype is None else np.dtype(dtype).str
     obj = None
     for _attempt in range(2):
         # a synchronized bucket doubling mid-build changes the shapes of
@@ -693,8 +745,15 @@ def get_epoch_pack(tree: Tree, pad: bool = False, trash: int = 0,
         tree._epoch_pack_cache = cache
         plan_cache_tick(tree)
     if key not in cache:
-        cache[key] = build_epoch_pack(tree, pad=pad, trash=trash,
-                                      with_gc2=with_gc2, dtype=dtype)
+        obj = build_epoch_pack(tree, pad=pad, trash=trash,
+                               with_gc2=with_gc2, dtype=dtype)
+        if tree.__dict__.get("_plan_put_batch") is not None:
+            # inside a transfer-batch first pass the pack references
+            # host-side plans — usable by the caller, but must not be
+            # cached past the batch scope (the cache would keep serving
+            # host arrays)
+            return obj
+        cache[key] = obj
     return cache[key]
 
 

@@ -92,9 +92,9 @@ class Simulation:
         self.all_densities = list(self.species_cc)
         self.i_electron = self.species_cc[
             self.chem.species_list.index("e") - ngas]
-        # first positive ion
+        # first positive ion: charge exactly +1 (m_streamer.f90:226-235)
         pos = [i for i, q in enumerate(self.chem.species_charge)
-               if q > 0 and i >= ngas]
+               if q == 1 and i >= ngas]
         if not pos:
             raise ValueError("No positive ion species present")
         self.i_1pos_ion = self.species_cc[pos[0] - ngas]
@@ -661,13 +661,13 @@ class Simulation:
 
     def _fused_step_available(self) -> bool:
         """Whether the one-dispatch production step applies: explicit
-        integrator, traceable voltage form, no gas dynamics (IMEX schemes
-        and user amplitude functions fall back to the per-unit compiled
-        path, which the host drives step by step)."""
+        integrator and traceable voltage form (IMEX schemes and user
+        amplitude functions fall back to the per-unit compiled path,
+        which the host drives step by step). Gas-dynamics runs are fused
+        too: the Euler advance + coupling trace inside the step."""
         return (self.compiled_fused
                 and not adv.REQUIRES_IMPLICIT[self.dt_cfg.integrator]
-                and self.field.user_field_amplitude is None
-                and self.gasdyn is None)
+                and self.field.user_field_amplitude is None)
 
     def _crit_args(self):
         """Padded criterion-eval inputs for the fused step's in-trace
@@ -859,10 +859,46 @@ class Simulation:
             bc_sp = self.bc_species
             interior_c = sp.interior_flat(ndim, nc)
             refiner = self.refiner
+            gasdyn = self.gasdyn
+            coupling = self.coupling if gasdyn is not None else None
+            registry = self.registry
+
+            def gas_advance(cc, fc, fl_pack, dt_used, tv):
+                """Gas-dynamics sequence of one accepted step in-trace
+                (streamer.f90:325-336): J.E/EHD coupling source, Euler
+                advance with the same integrator, gas-density refresh."""
+                # dt enters products with the f32 state: cast (a strong
+                # f64 scalar would promote to emulated f64 on TPU)
+                cc = coupling.add_fluid_source(
+                    cc, fc, dt_used.astype(cc.dtype), pack=fl_pack)
+                dt_gas = jnp.asarray(1e30, f64)
+                for entry in steps:
+                    (_, f, _fs, toff, s_deriv, s_prev, w_prev, s_out,
+                     i_step) = entry
+                    cc, fc, gl = gasdyn.forward_euler(
+                        cc, fc, (f * dt_used).astype(cc.dtype), None,
+                        tv + toff * dt_used, s_deriv, list(s_prev),
+                        list(w_prev), s_out, i_step, n_steps, {},
+                        fluid=fl)
+                    dt_gas = gl.astype(f64)  # last substep's limit
+
+                def gc_fill_gas(cc, ivs):
+                    for lvl in range(1, fl_pack.n_levels + 1):
+                        for iv in ivs:
+                            m = registry.methods[iv]
+                            cc = gc.fill_ghosts_lvl(
+                                cc, fl_pack.gc[lvl - 1], [iv], m["rb"],
+                                m["bc"], {})
+                    return cc
+
+                cc = coupling.update_gas_density(cc, gc_fill_gas,
+                                                 pack=fl_pack)
+                return cc, fc, dt_gas
 
             def epoch_prologue(cc, fl_pack, crit_ids, crit_mdx):
                 """Refinement-epoch prologue in-trace: restrict + ghost
-                fill of all densities (streamer.f90:383-386) and the
+                fill of all densities (streamer.f90:383-386; plus the
+                Euler variables on gas-dynamics runs, :388-393) and the
                 alpha*dx criterion codes for the eval ids — one int8
                 code row per eval box rides back with the step stats."""
                 cc = cc.at[:, trash].set(0.0)
@@ -872,6 +908,16 @@ class Simulation:
                     cc = gc.fill_ghosts_lvl(cc, fl_pack.gc[lvl - 1],
                                             ivs_all, gc.RB_INTERP_LIM,
                                             bc_sp, {})
+                if gasdyn is not None:
+                    gvs = np.asarray(gasdyn.gas_vars, np.int32)
+                    cc = pr.restrict_tree(cc, self.tree, gvs,
+                                          pack=fl_pack)
+                    for lvl in range(1, fl_pack.n_levels + 1):
+                        for iv in gasdyn.gas_vars:
+                            m = registry.methods[iv]
+                            cc = gc.fill_ghosts_lvl(
+                                cc, fl_pack.gc[lvl - 1], [iv], m["rb"],
+                                m["bc"], {})
                 codes = refiner.base_flags_traced(cc, crit_ids,
                                                   interior_c, crit_mdx)
                 return cc, codes
@@ -945,6 +991,12 @@ class Simulation:
                     with jax.named_scope("field"):
                         cc, fc, _res = field._solve_body(cc, fc, scal_f,
                                                          0)
+                    if gasdyn is not None:
+                        with jax.named_scope("gas"):
+                            cc, fc, dt_gas = gas_advance(cc, fc, fl_pack,
+                                                         dt_used, tv)
+                    else:
+                        dt_gas = jnp.asarray(1e30, f64)
                     with jax.named_scope("refine_prologue"):
                         cc, codes = jax.lax.cond(
                             epochv,
@@ -961,7 +1013,7 @@ class Simulation:
                             (n_att - jnp.logical_not(rejected)
                              .astype(jnp.int32)).astype(f64),
                             jnp.logical_not(rejected).astype(f64),
-                            f_energy]),
+                            f_energy, dt_gas]),
                         dvec[5:]])
                     return cc, fc, stats, codes
                 finally:
@@ -1003,12 +1055,7 @@ class Simulation:
         if not (warm_on and self._compiled_on
                 and self._fused_step_available()):
             return
-        # phantom plans cover the constant/cyl operators; electrode (lsf),
-        # variable-eps and dielectric runs keep the plain retrace
-        if (self.field.lsf_data is not None
-                or self.field.mg.eps_data is not None
-                or self.surfaces is not None
-                or isinstance(self.cc, np.ndarray)):
+        if isinstance(self.cc, np.ndarray):
             return
         import threading
         import jax
@@ -1272,7 +1319,11 @@ class Simulation:
             if np.dtype(dtype) != np.float64:
                 plan = tp.cast_pack_floats(plan, dtype)
             plans.append((plan, pack.gc[lvl - 1]))
-        plans = tuple(plans)
+        # one explicit transfer for the fresh per-epoch plans (their
+        # numpy leaves would otherwise each pay a transfer at dispatch)
+        sh = self.tree.__dict__.get("_replicate_sharding")
+        plans = (jax.device_put(tuple(plans), sh) if sh is not None
+                 else jax.device_put(tuple(plans)))
         fld.set_voltage(time)
         scal = {"voltage": fld.current_voltage}
         if fld.lsf_data is not None:
@@ -1740,8 +1791,7 @@ class Simulation:
             # (streamer.f90:380-411; the codes ride back with the stats)
             fused_epoch = (use_fused
                            and self.it % self.refine_cfg.per_steps == 0
-                           and self.user.refine is None
-                           and self.gasdyn is None)
+                           and self.user.refine is None)
             if use_fused:
                 # the whole step (copy, attempts, substeps, field solves,
                 # diagnostics) is ONE dispatch; the stats pull below is
@@ -1787,7 +1837,7 @@ class Simulation:
                     fraction_steps_rejected += 0.01
                 if self.chem.n_reactions:
                     self.global_rates = (self.global_rates
-                                         + stats[10:] * dt)
+                                         + stats[11:] * dt)
                 self.global_JdotE += float(stats[6]) * dt
                 self.dt_limits = stats[2:6].astype(np.float64)
                 # Sato current from the in-step field energy
@@ -1803,7 +1853,8 @@ class Simulation:
                             / self.field.current_voltage)
                         self.global_displ_current = (
                             d_fe / self.field.current_voltage)
-                dt_gas_lim = self.dt_cfg.dt_max
+                dt_gas_lim = (float(stats[10]) if self.gasdyn is not None
+                              else self.dt_cfg.dt_max)
                 diag = {}
             else:
                 dt_lim = uc.huge_real
@@ -1931,7 +1982,7 @@ class Simulation:
                 else:
                     self._to_host()
                     self.restrict_and_gc_densities()
-                if self.gasdyn is not None:
+                if self.gasdyn is not None and not fused_epoch:
                     gv = np.asarray(self.gasdyn.gas_vars)
                     self.cc = pr.restrict_tree(self.cc, self.tree, gv)
                     for lvl in range(1, self.tree.highest_lvl + 1):

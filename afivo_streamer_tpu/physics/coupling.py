@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from .. import constants as uc
 from ..core import spatial as sp
+from ..core import rowops as ro
 
 
 def _xp(a):
@@ -32,16 +33,21 @@ class Coupling:
         if gas.fraction_slow_heating > 0:
             self.i_vib = registry.add_cc("vibrational_energy")
 
-    def add_fluid_source(self, cc, fc, dt: float):
-        """coupling_add_fluid_source / add_heating_box."""
+    def add_fluid_source(self, cc, fc, dt: float, pack=None):
+        """coupling_add_fluid_source / add_heating_box. With an epoch
+        ``pack`` the per-level leaf lists come from the padded tables and
+        the method is traceable (padded leaves read/write the trash
+        row)."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
-        xp = _xp(cc)
-        interior = sp.interior_flat(ndim, nc)
         idx = self.idx
         gd = self.gd
-        for lvl in range(1, t.highest_lvl + 1):
-            leaves = np.asarray(t.lvl_leaves[lvl - 1])
+        from ..core import treepack as tp
+        n_levels = pack.n_levels if pack is not None else t.highest_lvl
+        for lvl in range(1, n_levels + 1):
+            tb = (pack.tables[lvl - 1] if pack is not None
+                  else tp.get_level_tables(t, lvl))
+            leaves = tb.leaves
             if len(leaves) == 0:
                 continue
             n = len(leaves)
@@ -49,15 +55,9 @@ class Coupling:
             JdotE = 0.0
             E_vec = []  # cell-centered E components (face averages)
             for d in range(ndim):
-                faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
-                         for k in range(ndim)]
-                fidx = sp.fc_flat(ndim, nc, *faxes)
-                shape = (n,) + tuple(nc + 1 if k == d else nc
-                                     for k in range(ndim))
-                Fe = fc[idx.flux_fc[0], d, leaves[:, None],
-                        fidx[None, :]].reshape(shape)
-                Ef = fc[idx.fc_E, d, leaves[:, None],
-                        fidx[None, :]].reshape(shape)
+                Fe = ro.fc_get_faces(fc, idx.flux_fc[0], d, leaves, nc,
+                                     ndim)
+                Ef = ro.fc_get_faces(fc, idx.fc_E, d, leaves, nc, ndim)
                 lo = tuple(slice(0, nc) if k == d else slice(None)
                            for k in range(ndim))
                 hi = tuple(slice(1, nc + 1) if k == d else slice(None)
@@ -75,51 +75,51 @@ class Coupling:
                     1 - self.gas.fraction_slow_heating)
                 eff_slow = (self.gas.heating_efficiency
                             * self.gas.fraction_slow_heating)
-                vib = cc[self.i_vib, leaves[:, None], interior[None, :]]
+                vib = ro.cc_get_interior(cc, self.i_vib, leaves, nc, ndim)
                 release = vib / self.gas.vt_time * dt
                 vib_new = vib + eff_slow * tmp - release
-                e_new = cc[i_e_var, leaves[:, None], interior[None, :]] \
-                    + eff_fast * tmp + release
-                if isinstance(cc, np.ndarray):
-                    cc[self.i_vib, leaves[:, None], interior[None, :]] = \
-                        vib_new
-                    cc[i_e_var, leaves[:, None], interior[None, :]] = e_new
-                else:
-                    cc = cc.at[self.i_vib, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].set(vib_new)
-                    cc = cc.at[i_e_var, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].set(e_new)
+                e_new = (ro.cc_get_interior(cc, i_e_var, leaves, nc, ndim)
+                         + eff_fast * tmp + release)
+                cc = ro.cc_set_interior(cc, self.i_vib, leaves, vib_new,
+                                        nc, ndim)
+                cc = ro.cc_set_interior(cc, i_e_var, leaves, e_new, nc,
+                                        ndim)
             else:
-                e_new = cc[i_e_var, leaves[:, None], interior[None, :]] \
-                    + self.gas.heating_efficiency * tmp
-                if isinstance(cc, np.ndarray):
-                    cc[i_e_var, leaves[:, None], interior[None, :]] = e_new
-                else:
-                    cc = cc.at[i_e_var, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].set(e_new)
+                e_new = (ro.cc_get_interior(cc, i_e_var, leaves, nc, ndim)
+                         + self.gas.heating_efficiency * tmp)
+                cc = ro.cc_set_interior(cc, i_e_var, leaves, e_new, nc,
+                                        ndim)
 
             # EHD body force q E on the momentum
             charge = 0.0
             for s_cc, q in zip(self.charged_cc, self.charged_sign):
-                charge = charge + q * cc[s_cc, leaves[:, None],
-                                         interior[None, :]]
+                charge = charge + q * ro.cc_get_interior(cc, s_cc, leaves,
+                                                         nc, ndim)
             charge = uc.elem_charge * charge
             for d in range(ndim):
                 mom_var = gd.gas_vars[gd.i_mom[d]]
                 upd = (self.gas.EHD_factor * charge
                        * E_vec[d].reshape(n, -1) * dt)
-                if isinstance(cc, np.ndarray):
-                    cc[mom_var, leaves[:, None], interior[None, :]] += upd
-                else:
-                    cc = cc.at[mom_var, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].add(upd)
+                cc = ro.cc_add_interior(cc, mom_var, leaves, upd, nc,
+                                        ndim)
         return cc
 
-    def update_gas_density(self, cc, gc_fill):
+    def update_gas_density(self, cc, gc_fill, pack=None):
         """M = rho / molecular_weight on leaves + ghost fill."""
         t = self.tree
-        interior = sp.interior_flat(t.ndim, t.nc)
+        nc, ndim = t.nc, t.ndim
         inv_w = 1.0 / self.gas.molecular_weight
+        if pack is not None:
+            for lvl in range(1, pack.n_levels + 1):
+                leaves = pack.tables[lvl - 1].leaves
+                if len(leaves) == 0:
+                    continue
+                rho = ro.cc_get_interior(
+                    cc, self.gd.gas_vars[self.gd.i_rho], leaves, nc, ndim)
+                cc = ro.cc_set_interior(cc, self.gd.i_gas_dens, leaves,
+                                        rho * inv_w, nc, ndim)
+            return gc_fill(cc, [self.gd.i_gas_dens])
+        interior = sp.interior_flat(ndim, nc)
         leaves = np.concatenate([np.asarray(l) for l in t.lvl_leaves])
         rho = cc[self.gd.gas_vars[self.gd.i_rho], leaves[:, None],
                  interior[None, :]]

@@ -567,7 +567,11 @@ class FluidModel:
                 if Bgas is not None:
                     Ng_lo = sl_faces(Bgas, 0, nc + 1, ghost=1)
                     Ng_hi = sl_faces(Bgas, 1, nc + 1, ghost=1)
-                    N_inv_f = 2.0 / (Ng_lo + Ng_hi)
+                    # trash/padded rows carry N = 0: guard the division —
+                    # an inf/NaN in the trash row poisons every real row
+                    # that 0-weight-gathers it (0 * inf = NaN)
+                    Ng_sum = Ng_lo + Ng_hi
+                    N_inv_f = 2.0 / xp.where(Ng_sum > 0.0, Ng_sum, 1.0)
                 else:
                     N_inv_f = N_inv
                 if has_ee:
@@ -739,16 +743,21 @@ class FluidModel:
             if self.mask_provider is not None:
                 mask = self.mask_provider(cc, lvl, leaves)
 
-            # weighted sum of previous states for ALL densities
+            # weighted sum of previous states for ALL densities — written
+            # UNCONDITIONALLY, exactly like the reference
+            # (flux_update_densities, m_af_flux_schemes.f90:370-380): the
+            # mask gates only the divergence and source updates below. A
+            # masked electrode-boundary cell is thereby RESET to the base
+            # state each substep, so substep >= 2's upwind reconstruction
+            # sees the fresh emission average (electrode_species_bc) —
+            # masking this sum kept a one-substep-stale copy there, which
+            # compounds exponentially at the cathode sheath (the round-4
+            # open cathode-emission deficit)
             for iv in idx.all_densities:
                 acc = 0.0
                 for s, w in zip(s_prev, w_prev):
                     acc = acc + w * ro.cc_get_interior(cc, iv + s, leaves,
                                                        nc, ndim)
-                if mask is not None:
-                    old = ro.cc_get_interior(cc, iv + s_out, leaves,
-                                             nc, ndim)
-                    acc = xp.where(mask, acc, old)
                 cc = ro.cc_set_interior(cc, iv + s_out, leaves, acc,
                                         nc, ndim)
 
@@ -790,9 +799,11 @@ class FluidModel:
             else:
                 Ncell = ro.cc_get_interior(cc, idx.i_gas_dens, leaves,
                                            nc, ndim)
+                # N = 0 trash rows: see compute_fluxes (keep trash finite)
                 fields_td = (ro.cc_get_interior(
                     cc, idx.i_electric_fld, leaves, nc, ndim)
-                             * uc.SI_to_Townsend / Ncell)
+                             * uc.SI_to_Townsend
+                             / xp.where(Ncell > 0.0, Ncell, 1.0))
                 gas_cols = [float(self.gas.fractions[k]) * Ncell
                             for k in range(self.chem.n_gas_species)]
             dens_cols = list(gas_cols)
@@ -951,7 +962,8 @@ class FluidModel:
             fld_td = fld * uc.SI_to_Townsend * N_inv_c
         else:
             Ng = ro.cc_get_interior(cc, idx.i_gas_dens, leaves, nc, ndim)
-            N_inv_c = 1.0 / Ng
+            # N = 0 trash rows: see compute_fluxes (keep trash finite)
+            N_inv_c = 1.0 / xp.where(Ng > 0.0, Ng, 1.0)
             fld_td = fld * uc.SI_to_Townsend * N_inv_c
         mob = self.td.tbl.get_col(TD_MOBILITY, fld_td) * N_inv_c
         factor = (flux_norm + small_flux) / (small_flux + ne * mob * fld)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..core import spatial as sp
 from ..core import ghostcell as gc
 from ..core import prolong_restrict as pr
+from ..core import rowops as ro
 from ..core.tree import Tree
 from ..ops.limiters import limiter_apply, LIMITER_VANLEER
 from .fluid import get_gc2_plan, gc2_extend
@@ -78,10 +79,14 @@ class GasDynamics:
 
     # ------------------------------------------------------- conversions
     def to_primitive(self, U):
-        """[.., n_vars, cells]: rho, mom -> velocity, E -> pressure."""
+        """[.., n_vars, cells]: rho, mom -> velocity, E -> pressure.
+        rho = 0 rows (trash/padded boxes, uninitialized ghost corners)
+        divide against 1 instead of emitting NaN — their cells are never
+        read as real state (validity masks exclude them)."""
         xp = _xp(U)
         rho = U[:, self.i_rho]
-        vel = [U[:, m] / rho for m in self.i_mom]
+        rho_safe = xp.where(rho > 0.0, rho, 1.0)
+        vel = [U[:, m] / rho_safe for m in self.i_mom]
         ke = 0.5 * rho * sum(v * v for v in vel)
         p = (self.gamma - 1.0) * (U[:, self.i_e] - ke)
         return xp.stack([rho] + vel + [p], axis=1)
@@ -96,7 +101,12 @@ class GasDynamics:
 
     def max_wavespeed(self, P, d):
         xp = _xp(P)
-        cs = xp.sqrt(self.gamma * P[:, self.i_e] / P[:, self.i_rho])
+        rho = P[:, self.i_rho]
+        # clamp the trash/padded rows (rho = 0, possibly p < 0 garbage)
+        # away from NaN; real cells have rho, p > 0 and are unchanged
+        arg = (self.gamma * P[:, self.i_e]
+               / xp.where(rho > 0.0, rho, 1.0))
+        cs = xp.sqrt(xp.maximum(arg, 0.0))
         return cs + xp.abs(P[:, self.i_mom[d]])
 
     def fluxes(self, P, d):
@@ -116,29 +126,53 @@ class GasDynamics:
         out.append(vd * (E + p))
         return xp.stack(out, axis=1)
 
+    # ---------------------------------------------- compiled plumbing
+    def _pack_of(self, fluid):
+        """Ambient epoch pack: reuse the fluid model's thread-local pack
+        slot (set by the driver's fused step / per-unit jit wrappers) —
+        the gas step traces inside the same units."""
+        return fluid._pack if fluid is not None else None
+
+    def _tb(self, lvl: int, pack):
+        from ..core import treepack as tp
+        if pack is not None:
+            return pack.tables[lvl - 1]
+        return tp.get_level_tables(self.tree, lvl)
+
     # ------------------------------------------------------------- step
     def forward_euler(self, cc, fc, dt, dt_lim_state, time, s_deriv,
                       s_prev, w_prev, s_out, i_step, n_steps, params,
                       fluid=None):
-        """gas_forward_euler: KT/MUSCL fluxes + conservative update."""
+        """gas_forward_euler: KT/MUSCL fluxes + conservative update.
+        Pack-aware (the gas analog of FluidModel.compute_fluxes): with an
+        ambient epoch pack the whole step is traceable — padded leaves
+        target the trash row and the CFL reduction is validity-masked."""
         t = self.tree
         nc, ndim = t.nc, t.ndim
         xp = _xp(cc)
+        pack = self._pack_of(fluid)
         ivs = [iv + s_deriv for iv in self.gas_vars]
         nv = self.n_vars
-        cc = pr.restrict_tree(cc, t, np.asarray(ivs), use_geometry=True)
+        cc = pr.restrict_tree(cc, t, np.asarray(ivs), use_geometry=True,
+                              pack=pack)
         params = dict(params or {})
         params["_s_deriv"] = s_deriv
         inv_max_cfl = 1e-100
+        n_levels = pack.n_levels if pack is not None else t.highest_lvl
 
-        for lvl in range(1, t.highest_lvl + 1):
-            plan = get_gc2_plan(t, lvl)
+        for lvl in range(1, n_levels + 1):
+            plan = (pack.gc2[lvl - 1] if pack is not None
+                    else get_gc2_plan(t, lvl))
             if len(plan.leaves) == 0:
                 continue
             E, cc = gc2_extend(cc, plan, ivs, self._bc_fn, params,
                                pr.default_prolong_limiter(ndim))
             n = len(plan.leaves)
             dr = plan.dr
+            valid = None
+            if pack is not None and pack.pad:
+                valid = (self._tb(lvl, pack).leaf_valid > 0).reshape(
+                    (n,) + (1,) * ndim)
             Eb = E.reshape((n, nv) + (nc + 4,) * ndim)
             Pb = self.to_primitive(Eb.reshape(n, nv, -1)).reshape(
                 (n, nv) + (nc + 4,) * ndim)
@@ -181,26 +215,23 @@ class GasDynamics:
                     w[(slice(None),) + lo], w[(slice(None),) + hi]) \
                     / dr[ndim - 1]
 
-                faxes = [np.arange(0, nc + 1) if k == d else np.arange(0, nc)
-                         for k in range(ndim)]
-                fidx = sp.fc_flat(ndim, nc, *faxes)
+                fshape = (n,) + tuple(nc + 1 if k == d else nc
+                                      for k in range(ndim))
                 for m, f_iv in enumerate(self.gas_fluxes):
-                    flat = flux[:, m].reshape(n, -1)
-                    if isinstance(fc, np.ndarray):
-                        fc[f_iv, d, plan.leaves[:, None], fidx[None, :]] = flat
-                    else:
-                        fc = fc.at[f_iv, d,
-                                   jnp.asarray(plan.leaves)[:, None],
-                                   jnp.asarray(fidx)[None, :]].set(flat)
+                    fc = ro.fc_set_faces(fc, f_iv, d, plan.leaves,
+                                         flux[:, m].reshape(fshape), nc,
+                                         ndim)
+            if valid is not None:
+                cfl_sum = xp.where(valid, cfl_sum, 0.0)
             inv_max_cfl = xp.maximum(inv_max_cfl, xp.max(cfl_sum))
 
         if fluid is not None:
             fc = fluid.consistent_fluxes(fc, self.gas_fluxes)
 
         # conservative update + cylindrical geometric source
-        interior = sp.interior_flat(ndim, nc)
-        for lvl in range(1, t.highest_lvl + 1):
-            leaves = np.asarray(t.lvl_leaves[lvl - 1])
+        for lvl in range(1, n_levels + 1):
+            tb = self._tb(lvl, pack)
+            leaves = tb.leaves
             if len(leaves) == 0:
                 continue
             n = len(leaves)
@@ -210,20 +241,25 @@ class GasDynamics:
             for m, iv in enumerate(self.gas_vars):
                 acc = 0.0
                 for s, w in zip(s_prev, w_prev):
-                    acc = acc + w * cc[iv + s, leaves[:, None],
-                                       interior[None, :]]
+                    acc = acc + w * ro.cc_get_interior(cc, iv + s, leaves,
+                                                       nc, ndim)
                 outs[m] = acc
             # geometric source p/r on radial momentum (add_geometric_source)
             if self.cyl:
-                U = xp.stack([cc[iv + s_deriv, leaves[:, None],
-                                 interior[None, :]]
+                U = xp.stack([ro.cc_get_interior(cc, iv + s_deriv, leaves,
+                                                 nc, ndim)
                               for iv in self.gas_vars], axis=1)
-                ke = 0.5 * sum(U[:, m] ** 2 for m in self.i_mom) / U[:, 0]
+                rho = U[:, 0]
+                ke = 0.5 * sum(U[:, m] ** 2 for m in self.i_mom) \
+                    / xp.where(rho > 0.0, rho, 1.0)
                 p = (self.gamma - 1.0) * (U[:, self.i_e] - ke)
-                r0 = t.box_r_min(leaves)[:, 0]
-                i = np.arange(1, nc + 1)
-                r_cc = r0[:, None] + (i[None, :] - 0.5) * dr[0]
-                inv_r = (1.0 / r_cc)[:, :, None] * np.ones((1, 1, nc))
+                r0 = xp.asarray(tb.leaf_r0[:, 0])
+                off = np.asarray((np.arange(1, nc + 1) - 0.5) * dr[0],
+                                 dtype=cc.dtype)
+                r_cc = r0[:, None] + off[None, :]
+                inv_r = xp.broadcast_to(
+                    (1.0 / r_cc)[:, :, None],
+                    (n, nc, nc ** (ndim - 1)))
                 outs[1] = outs[1] + dt * p * inv_r.reshape(n, -1)
             # flux divergence
             rfac = None
@@ -234,12 +270,7 @@ class GasDynamics:
                 f_iv = self.gas_fluxes[m]
                 div = 0.0
                 for d in range(ndim):
-                    faxes = [np.arange(0, nc + 1) if k == d
-                             else np.arange(0, nc) for k in range(ndim)]
-                    fidx = sp.fc_flat(ndim, nc, *faxes)
-                    F = fc[f_iv, d, leaves[:, None], fidx[None, :]].reshape(
-                        (n,) + tuple(nc + 1 if k == d else nc
-                                     for k in range(ndim)))
+                    F = ro.fc_get_faces(fc, f_iv, d, leaves, nc, ndim)
                     lo = tuple(slice(0, nc) if k == d else slice(None)
                                for k in range(ndim))
                     hi = tuple(slice(1, nc + 1) if k == d else slice(None)
@@ -252,11 +283,8 @@ class GasDynamics:
                         F_hi = F_hi * rfac[1].reshape(shape)
                     div = div + (F_lo - F_hi) / dr[d]
                 val = outs[m] + dt * div.reshape(n, -1)
-                if isinstance(cc, np.ndarray):
-                    cc[iv + s_out, leaves[:, None], interior[None, :]] = val
-                else:
-                    cc = cc.at[iv + s_out, jnp.asarray(leaves)[:, None],
-                               jnp.asarray(interior)[None, :]].set(val)
+                cc = ro.cc_set_interior(cc, iv + s_out, leaves, val, nc,
+                                        ndim)
 
         dt_lim = 1.0 / inv_max_cfl
         return cc, fc, dt_lim

@@ -161,12 +161,29 @@ class LevelOp:
                      > 1e-8 for k in range(n)])
         if lsf_data is not None:
             data = lsf_data.level_data(lvl)
-            if data["has_bnd"].any():
+            n_lsf = len(data["has_bnd"])
+            if n_lsf == 0 and pad:
+                # phantom (empty) level of an electrode run: ONE
+                # synthetic no-boundary row (dd = 1 -> plain Laplacian
+                # values) so the operator takes the per-cell ARRAY form
+                # a real newborn boundary level will have — the padding
+                # below repeats the finite row over the trash slots
+                # (core/treepack.phantom_levels)
+                C = nc ** ndim
+                data = dict(data,
+                            dd=np.ones((1, C, 2 * ndim)),
+                            has_bnd=np.zeros(1, bool),
+                            lsf_cc=np.ones((1, C)),
+                            bc_coeff=np.ones((1, C)),
+                            ids=np.zeros(1, np.int64))
+                n_lsf = 1
+            if len(data["has_bnd"]) and (data["has_bnd"].any()
+                                         or len(ids) == 0):
                 from .lsf import lsf_stencil_coefficients
                 c0l, c_nbl, fl = lsf_stencil_coefficients(tree, lvl, data,
                                                           0.0)
-                bshape = (len(ids),) + (nc,) * ndim
-                sel = data["has_bnd"].reshape((len(ids),) + (1,) * ndim)
+                bshape = (n_lsf,) + (nc,) * ndim
+                sel = data["has_bnd"].reshape((n_lsf,) + (1,) * ndim)
                 c0 = np.where(sel, c0l.reshape(bshape), c0 + np.zeros(bshape))
                 new_nb = []
                 for d in range(2 * ndim):
@@ -883,10 +900,18 @@ def _pack_and_ops(self, dtype=None):
     kernels in pack mode (2D; None where unsupported)."""
     pad, trash = self._jit_cfg
     t = self.tree
+    gen_in = t.__dict__.get("_bucket_gen", 0)
     pack = tp.get_epoch_pack(t, pad=pad, trash=trash, dtype=dtype)
     cache = self._jit_units.setdefault("_ops_cache", {})
     dkey = None if dtype is None else np.dtype(dtype).str
     if cache.get("key") != (t.epoch, dkey):
+        if pad and t.__dict__.get("_plan_put_batch") is None:
+            # coalesce this epoch's missing op/smoother/block plans into
+            # ONE device transfer (treepack.plan_transfer_batch), then
+            # re-assemble from the device-resident cache
+            with tp.plan_transfer_batch(t):
+                _pack_and_ops(self, dtype=dtype)
+            cache.clear()  # first pass may have cached host objects
         cache.clear()
         cache["key"] = (t.epoch, dkey)
         # per-level incremental caching (core/treepack.cached_plan): only
@@ -896,54 +921,67 @@ def _pack_and_ops(self, dtype=None):
         # boxes), so the same fingerprint keys apply.
         has_lsf = self.lsf_data is not None
         has_eps = self.eps_data is not None
-        gen = t.__dict__.get("_bucket_gen", 0) if pad else -1
-        base = (pad, trash, dkey, gen, float(self.lam), has_lsf, has_eps)
         fp = tp.level_fingerprint
         L = t.highest_lvl
-        ops = tuple(
-            tp.cached_plan(
-                t, ("mgop", l, fp(t, l)) + base,
-                lambda l=l: LevelOp(t, l, self.lam, self.lsf_data,
-                                    self.eps_data, pad=pad, trash=trash),
-                dtype=dtype, device=True)
-            for l in range(1, L + 1))
-        sm = None
-        if pad and t.ndim in (2, 3) and not (has_lsf or has_eps):
-            from ..ops.pallas_smoother import (PackSmoother2D,
-                                               PackSmoother3D)
-            cls = PackSmoother2D if t.ndim == 2 else PackSmoother3D
-            # the smoother tables derive from the gc plan + level tables;
-            # the builder re-creates host versions (the pack's are already
-            # on device), which only runs for changed levels
-            smbase = base + (self.i_phi, id(self.sides_bc))
-            sm = tuple(
+        # a synchronized bucket doubling triggered mid-build (e.g. by the
+        # lsf extras) changes every padded shape; restart so one aux is
+        # one generation (mirrors treepack.build_epoch_pack) — mixing
+        # generations would misalign the ops' padded rows against the
+        # epoch pack's tables
+        for _attempt in range(2):
+            gen = t.__dict__.get("_bucket_gen", 0) if pad else -1
+            base = (pad, trash, dkey, gen, float(self.lam), has_lsf,
+                    has_eps)
+            ops = tuple(
                 tp.cached_plan(
-                    t, ("mgsm", l, fp(t, l - 1), fp(t, l)) + smbase,
-                    lambda l=l: cls(
-                        t, l, gc.GcLevelPlan(t, l, pad=pad, trash=trash),
-                        tp.LevelTables(t, l, pad=pad, trash=trash),
-                        self.sides_bc, self.i_phi, trash),
+                    t, ("mgop", l, fp(t, l)) + base,
+                    lambda l=l: LevelOp(t, l, self.lam, self.lsf_data,
+                                        self.eps_data, pad=pad,
+                                        trash=trash),
                     dtype=dtype, device=True)
                 for l in range(1, L + 1))
-        blocks = None
-        if sm is not None and t.ndim == 2:
-            from .mg_blocks import LevelBlockPlan
-            blocks = tuple(
-                tp.cached_plan(
-                    t, ("mgblk", l, fp(t, l - 1), fp(t, l)) + base,
-                    lambda l=l: LevelBlockPlan(t, l, pad=pad,
-                                               trash=trash),
-                    dtype=dtype, device=True)
-                for l in range(1, L + 1))
+            sm = None
+            if pad and t.ndim in (2, 3) and not (has_lsf or has_eps):
+                from ..ops.pallas_smoother import (PackSmoother2D,
+                                                   PackSmoother3D)
+                cls = PackSmoother2D if t.ndim == 2 else PackSmoother3D
+                # the smoother tables derive from the gc plan + level
+                # tables; the builder re-creates host versions (the
+                # pack's are already on device), which only runs for
+                # changed levels
+                smbase = base + (self.i_phi, id(self.sides_bc))
+                sm = tuple(
+                    tp.cached_plan(
+                        t, ("mgsm", l, fp(t, l - 1), fp(t, l)) + smbase,
+                        lambda l=l: cls(
+                            t, l,
+                            gc.GcLevelPlan(t, l, pad=pad, trash=trash),
+                            tp.LevelTables(t, l, pad=pad, trash=trash),
+                            self.sides_bc, self.i_phi, trash),
+                        dtype=dtype, device=True)
+                    for l in range(1, L + 1))
+            blocks = None
+            if sm is not None and t.ndim == 2:
+                from .mg_blocks import LevelBlockPlan
+                blocks = tuple(
+                    tp.cached_plan(
+                        t, ("mgblk", l, fp(t, l - 1), fp(t, l)) + base,
+                        lambda l=l: LevelBlockPlan(t, l, pad=pad,
+                                                   trash=trash),
+                        dtype=dtype, device=True)
+                    for l in range(1, L + 1))
+            extras = None
+            if has_lsf or has_eps:
+                extras = tuple(
+                    tp.cached_plan(
+                        t, ("mgex", l, fp(t, l)) + base,
+                        lambda l=l: _build_level_extras(self, l, pad,
+                                                        trash),
+                        dtype=dtype, device=True)
+                    for l in range(1, L + 1))
+            if not pad or t.__dict__.get("_bucket_gen", 0) == gen:
+                break
         cache["blocks"] = blocks
-        extras = None
-        if has_lsf or has_eps:
-            extras = tuple(
-                tp.cached_plan(
-                    t, ("mgex", l, fp(t, l)) + base,
-                    lambda l=l: _build_level_extras(self, l, pad, trash),
-                    dtype=dtype, device=True)
-                for l in range(1, L + 1))
         cache["ops"] = ops
         cache["sm"] = sm
         cache["extras"] = extras
@@ -953,6 +991,12 @@ def _pack_and_ops(self, dtype=None):
             surf = get_surface_pack(self.surfaces, pad, trash,
                                     dtype=dtype)
         cache["surf"] = surf
+    if pad and t.__dict__.get("_bucket_gen", 0) != gen_in:
+        # the aux build triggered a synchronized doubling AFTER the epoch
+        # pack was fetched: drop the stale pack and re-fetch so pack and
+        # aux share one shape generation
+        t.__dict__.pop("_epoch_pack_cache", None)
+        pack = tp.get_epoch_pack(t, pad=pad, trash=trash, dtype=dtype)
     return pack, (cache["ops"], cache["sm"], cache["extras"],
                   cache["blocks"], cache["surf"])
 
@@ -962,29 +1006,42 @@ def _phantom_pack_and_ops(self, dtype=None):
     the structures the next refinement level will produce (see
     core/treepack.phantom_levels). Used by the driver to pre-compile the
     next level's fused-step executable in the background; never for
-    production dispatch. Only the constant/cylindrical operators are
-    supported (the warm path is gated off for lsf/eps/surfaces)."""
+    production dispatch. Supports the constant/cylindrical operators AND
+    the lsf/eps extras (the phantom level's side tables are min-bucketed
+    empties, shaped like a real newborn level's) plus dielectric surface
+    packs (their tables are per-direction, not per-level — a new level
+    changes their shapes only through the shared bucket marks)."""
     pad, trash = self._jit_cfg
     t = self.tree
-    assert self.lsf_data is None and self.eps_data is None \
-        and self.surfaces is None
+    has_lsf = self.lsf_data is not None
+    has_eps = self.eps_data is not None
     dkey = None if dtype is None else np.dtype(dtype).str
     pack = tp.build_epoch_pack(t, pad=pad, trash=trash, with_gc2=False,
                                dtype=dtype, phantom=1)
     gen = t.__dict__.get("_bucket_gen", 0) if pad else -1
-    base = (pad, trash, dkey, gen, float(self.lam), False, False)
+    base = (pad, trash, dkey, gen, float(self.lam), has_lsf, has_eps)
     fp = tp.level_fingerprint
     L = t.highest_lvl
+    if has_lsf or has_eps:
+        # make sure the REAL levels' extras bucket marks exist BEFORE the
+        # phantom context mirrors level L's marks to level L+1 (otherwise
+        # the phantom extras get the minimum floor while the real newborn
+        # level inherits level L's bucket)
+        for l in range(1, L + 1):
+            tp.cached_plan(t, ("mgex", l, fp(t, l)) + base,
+                           lambda l=l: _build_level_extras(self, l, pad,
+                                                           trash),
+                           dtype=dtype, device=True)
     with tp.phantom_levels(t, 1):
         ops = tuple(
             tp.cached_plan(
                 t, ("mgop", l, fp(t, l)) + base,
-                lambda l=l: LevelOp(t, l, self.lam, None, None,
-                                    pad=pad, trash=trash),
+                lambda l=l: LevelOp(t, l, self.lam, self.lsf_data,
+                                    self.eps_data, pad=pad, trash=trash),
                 dtype=dtype, device=True)
             for l in range(1, L + 2))
         sm = None
-        if pad and t.ndim in (2, 3):
+        if pad and t.ndim in (2, 3) and not (has_lsf or has_eps):
             from ..ops.pallas_smoother import (PackSmoother2D,
                                                PackSmoother3D)
             cls = PackSmoother2D if t.ndim == 2 else PackSmoother3D
@@ -1008,7 +1065,22 @@ def _phantom_pack_and_ops(self, dtype=None):
                                                trash=trash),
                     dtype=dtype, device=True)
                 for l in range(1, L + 2))
-    return pack, (ops, sm, None, blocks, None)
+        extras = None
+        if has_lsf or has_eps:
+            extras = tuple(
+                tp.cached_plan(
+                    t, ("mgex", l, fp(t, l)) + base,
+                    lambda l=l: _build_level_extras(self, l, pad, trash),
+                    dtype=dtype, device=True)
+                for l in range(1, L + 2))
+    surf = None
+    if self.surfaces is not None:
+        # per-direction tables (no per-level pytree entries): the
+        # production pack of this epoch already has the bucketed shapes
+        # a one-level growth will keep
+        from .surface import get_surface_pack
+        surf = get_surface_pack(self.surfaces, pad, trash, dtype=dtype)
+    return pack, (ops, sm, extras, blocks, surf)
 
 
 def _build_level_extras(self, lvl: int, pad: bool, trash: int):

@@ -206,6 +206,68 @@ def test_compiled_gas_dynamics_matches_golden(tmp_path):
     assert ok.all(), f"mismatch at {np.argwhere(~ok)[:5]}"
 
 
+@pytest.mark.slow
+def test_compiled_gas_dynamics_fused_golden(tmp_path):
+    """Gas dynamics through the FUSED one-dispatch step (VERDICT round-4
+    item 7): the J.E/EHD coupling, the Euler KT/MUSCL advance with the
+    production integrator, and the gas-density refresh all trace inside
+    the fused step (driver._fused_fn gas_advance; streamer.f90:325-336),
+    with dt_gas riding back in the stats vector. Reproduces the
+    test_cyl_heating golden prefix."""
+    import numpy as np
+    ref = "/root/reference/programs/standard_2d/tests"
+    cwd = os.getcwd()
+    os.chdir(ref)  # input_data%file is cfg-relative
+    try:
+        out = str(tmp_path / "heatf")
+        sim = Simulation(argv=[
+            f"{ref}/test_cyl_heating.cfg", "-ndim=2",
+            f"-output%name={out}", "-compiled%enabled=T",
+            "-compiled%fused=T"])
+        sim.run(end_time=5.1e-9)
+    finally:
+        os.chdir(cwd)
+    assert sim.gasdyn is not None
+    # the fused one-dispatch unit really ran
+    assert getattr(sim, "_jit_fullstep", None)
+    a = np.loadtxt(out + "_rtest.log", skiprows=1, ndmin=2)
+    b = np.loadtxt(f"{ref}/test_cyl_heating_rtest.log", skiprows=1,
+                   ndmin=2)[:len(a)]
+    assert len(a) >= 2
+    ok = np.isclose(a, b, rtol=1e-5, atol=1e-8)
+    assert ok.all(), f"mismatch at {np.argwhere(~ok)[:5]}"
+
+
+def test_compiled_gas_fused_matches_host_small(tmp_path):
+    """Fast fused-gas gate: on a small frozen-criterion heating mesh
+    (3 levels), the fused one-dispatch step with the in-trace gas
+    sequence must track the host path step-for-step (identical dt
+    trajectory, matching regression row). Keeps the expensive full
+    golden above in the slow tier while the fast suite still exercises
+    the traced gas/coupling code paths."""
+    import numpy as np
+    ref = "/root/reference/programs/standard_2d/tests"
+    common = [f"{ref}/test_cyl_heating.cfg", "-ndim=2",
+              f"-input_data%file={ref}/air_chemistry_v1.txt",
+              "-refine_adx=1e10", "-refine_max_dx=2e-3",
+              "-refine_init_time=1e-9", "-refine_init_fac=0.5",
+              "-derefine_dx=1e-9"]
+    s1 = Simulation(argv=common + [f"-output%name={tmp_path}/host"])
+    s1.run(max_steps=8)
+    s2 = Simulation(argv=common + [f"-output%name={tmp_path}/comp",
+                                   "-compiled%enabled=T",
+                                   "-compiled%fused=T"])
+    s2.run(max_steps=8)
+    assert s2.tree.highest_lvl >= 3          # refinement boundaries
+    assert getattr(s2, "_jit_fullstep", None)  # fused unit ran
+    assert s2.global_dt == pytest.approx(s1.global_dt, rel=1e-12)
+    assert s2.global_time == pytest.approx(s1.global_time, rel=1e-12)
+    a = np.loadtxt(f"{tmp_path}/host_rtest.log", skiprows=1, ndmin=2)
+    b = np.loadtxt(f"{tmp_path}/comp_rtest.log", skiprows=1, ndmin=2)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)
+
+
 def test_compiled_electrode_matches_host(tmp_path):
     """The compiled electrode/variable-LSF path (VERDICT round-3 item 4):
     jitted LSF multigrid units (runtime dd/lsf_cc/bc_coeff side tables),

@@ -128,3 +128,36 @@ def test_sharded_production_run_matches_unsharded(tmp_path):
     # sharded execution reorders f64 reductions (coarse solve, max |res|
     # convergence control), so allow rounding-level noise only
     np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_sharded_2d_production_crosses_growth_epoch(tmp_path):
+    """The 2D axisymmetric bench configuration, sharded over the
+    8-device mesh, run PAST the first level-adding refinement epoch
+    (~0.28 ns adds level 10): capacity growth re-lays the grown box axis
+    over the mesh (driver._enable_compiled / _mesh_shardings), which the
+    1D gate above cannot exercise in the configuration bench.py actually
+    measures. Per-unit compiled mode (the fused 2D trace costs tens of
+    minutes of CPU XLA; sharding rides the same jitted units either
+    way). Log must match the unsharded compiled run at rounding level."""
+    argv = [f"{REF}/test_cyl.cfg", "-ndim=2",
+            f"-input_data%file={REF}/td_air_siglo_swarm.txt",
+            "-compiled%enabled=T", "-compiled%fused=F"]
+    end = "-end_time=0.3e-9"
+
+    sim_u = Simulation(argv=argv + [f"-output%name={tmp_path}/u2", end])
+    lvl0 = sim_u.tree.highest_lvl
+    sim_u.run()
+    assert sim_u.tree.highest_lvl > lvl0, \
+        "horizon did not cross a level-adding epoch"
+
+    sim_s = Simulation(argv=argv + [f"-output%name={tmp_path}/s2", end,
+                                    "-compiled%shards=8"])
+    sim_s.run()
+    assert len(sim_s.cc.sharding.device_set) == 8
+    assert sim_s.tree.highest_lvl == sim_u.tree.highest_lvl
+
+    a = np.loadtxt(f"{tmp_path}/u2_rtest.log", skiprows=1, ndmin=2)
+    b = np.loadtxt(f"{tmp_path}/s2_rtest.log", skiprows=1, ndmin=2)
+    assert a.shape == b.shape and len(a) >= 2
+    np.testing.assert_allclose(b, a, rtol=1e-8, atol=1e-10)

@@ -89,6 +89,63 @@ def test_phantom_mg_aux_matches_future_level():
     assert ph_shapes == r_shapes
 
 
+def test_phantom_mg_aux_matches_future_level_lsf():
+    """Phantom warm for the ELECTRODE (LSF) operator (VERDICT round-4
+    item 5): the phantom aux — including the per-level lsf side tables
+    (_build_level_extras) — matches the real aux once the level exists.
+    The growth is placed ON the electrode boundary so the newborn level
+    has real lsf distance entries."""
+    from afivo_streamer_tpu.solvers.multigrid import Multigrid
+    from afivo_streamer_tpu.solvers.lsf import LsfData
+    t = Tree(2, 8, [16e-3, 16e-3], [16, 16])
+
+    def lsf_fn(r):
+        # rod along x = 4 mm, radius 1 mm (vectorized [n, 2] -> [n])
+        r = np.atleast_2d(r)
+        return np.abs(r[:, 0] - 4e-3) - 1e-3
+
+    lsf = LsfData(t, lsf_fn, length_scale=1e-3)
+
+    def refine_on_rod(tt):
+        # grow exactly ONE finest-level box straddling the rod edge: the
+        # phantom warm predicts the pack STRUCTURE of a new level, not
+        # bucket-mark doublings (a growth that crosses a power-of-two
+        # bucket forces the documented synchronized retrace regardless)
+        def flags_fn(ids):
+            out = np.full([len(ids)] + [tt.nc] * 2, KEEP_REF, np.int64)
+            done = [False]
+            for n, b in enumerate(ids):
+                r0 = tt.box_r_min(np.asarray([int(b)]))[0]
+                dx = tt.lvl_dr(int(tt.lvl[int(b)]))[0] * tt.nc
+                if (not done[0] and r0[0] <= 4e-3 <= r0[0] + dx
+                        and tt.lvl[int(b)] == tt.highest_lvl):
+                    out[n] = DO_REF
+                    done[0] = True
+            return out
+        tt.adjust_refinement(flags_fn)
+
+    for _ in range(3):
+        refine_on_rod(t)
+    # production prepad (compiled%prepad): first-sighting buckets get
+    # headroom so the single-box growth below stays within every mark
+    # (a growth past a mark is a synchronized doubling — the documented
+    # full retrace the phantom warm does not cover)
+    t._prepad = 4.0
+    mg = Multigrid(t, 0, 1, 2,
+                   lambda iv, d, c, p: (gc.BC_DIRICHLET, 0.0),
+                   lsf_data=lsf)
+    mg.enable_jit(pad=True, trash=500)
+    ph_pack, ph_aux = mg._phantom_pack_and_ops(dtype=np.float64)
+    ph_def, ph_shapes = _sig((ph_pack, ph_aux))
+    assert ph_aux[2] is not None          # lsf extras present
+    refine_on_rod(t)
+    pack, aux = mg._pack_and_ops(dtype=np.float64)
+    r_def, r_shapes = _sig((pack, aux))
+    assert any(ex["lsf"] is not None for ex in aux[2])
+    assert ph_def == r_def
+    assert ph_shapes == r_shapes
+
+
 @pytest.mark.skipif(not os.path.isdir(REF1), reason="no reference data")
 def test_warm_next_level_avoids_retrace(tmp_path):
     """A compiled fused 1D production run crossing a level-adding epoch:
