@@ -39,17 +39,24 @@ CASES = [
     case("standard_2d", "test_cyl_ion_motion_v2", 2),
     # 2 of 396 entries at ~2e-5 (README parity table)
     case("standard_2d", "test_cyl_heating", 2, max_bad=2, rtol_all=5e-5),
-    # open cathode-emission gap (README electrode analysis)
+    # Electrode cases: the round-4 cathode-emission gap (74% peak
+    # deviation, 3 xfails) was closed in round 5 — the masked temporal
+    # weighted sum kept a stale boundary-cell copy (see fluid.py
+    # _flux_update_body and the round-5 README analysis). What remains
+    # is a SATURATING ~1e-3 deviation appearing at streamer inception
+    # (measured: row 1 matches to 3e-8, rows 2+ plateau at ~1.1e-3,
+    # n_bad/row constant — a marginal refinement-flag flip near the
+    # tip, not a growing implementation error).
     case("standard_2d", "test_2d_pos_electrode", 2,
-         max_bad=40, rtol_all=5e-2),
+         max_bad=60, rtol_all=6e-3),
     case("standard_2d", "test_2d_pos_electrode_photoi", 2,
-         max_bad=40, rtol_all=5e-2),
+         max_bad=30, rtol_all=6e-3),
     case("standard_2d", "test_2d_neg_electrode", 2,
-         xfail="cathode-sheath emission discrepancy (README)"),
+         max_bad=75, rtol_all=2e-3),
     case("standard_2d", "test_2d_neg_electrode_photoi", 2,
-         xfail="cathode-sheath emission discrepancy (README)"),
+         max_bad=85, rtol_all=6e-3),
     case("standard_2d", "test_cyl_2pulse", 2,
-         xfail="cathode-sheath emission discrepancy (README)"),
+         max_bad=250, rtol_all=2e-2),
     # tail rows ~1.5e-5 after 9 orders of electron decay (README)
     case("dielectric_2d", "test_dielectric_charge_2d", 2, user=True,
          max_bad=4, rtol_all=5e-5),
