@@ -1288,14 +1288,24 @@ class Simulation:
 
     def _jit_epoch_epilogue(self, info, time):
         """The refinement epoch's post-change work as ONE device
-        dispatch: prolongation into the new boxes of every added level
-        (+per-level ghost fill), the convergence-controlled field solve
-        at the new topology, and — when compiled Helmholtz photoi is
-        active — the photoionization source update. Replaces 3-6
-        separate dispatches; over a remote TPU link each blocked call
-        costs a full round trip (refine epochs measured at ~2.7 s
-        against ~100 ms of device work, round-4 README). Reference
-        sequence: streamer.f90:380-411."""
+        dispatch: prolongation into the new boxes, per-level ghost
+        fill, the convergence-controlled field solve at the new
+        topology, and — when compiled Helmholtz photoi is active — the
+        photoionization source update. Reference sequence:
+        streamer.f90:380-411.
+
+        SHAPE-STABLE by design (round 5): building fresh per-epoch
+        prolongation plans for the added boxes made the input shapes a
+        function of which levels / how many boxes changed — every novel
+        combination RETRACED this unit (containing a full field solve),
+        at 50-80 s of remote XLA per variant; the TPU epoch probe
+        measured exactly these retraces as the dominant refine cost.
+        The unit now prolongs ALL children of every level through the
+        epoch pack's padded pr plans and BLENDS by a runtime new-row
+        mask, so its shapes are a function of the pack alone: compiled
+        once per bucket generation, a cache hit at every changed epoch
+        afterwards (the wasted full-level prolongation is a few ms of
+        vectorized device work)."""
         import jax
         import jax.numpy as jnp
         from contextlib import ExitStack
@@ -1311,19 +1321,13 @@ class Simulation:
                  and getattr(self, "_photoi_compiled", False))
         ph_packs = ([mg._pack_and_ops(dtype=dtype)
                      for mg in self.photoi.mgs] if ph_on else [])
-        plans = []
-        for lvl in sorted(info.added_per_lvl):
-            plan = pr.ProlongRestrictPlan(self.tree,
-                                          info.added_per_lvl[lvl],
-                                          pad=True, trash=trash)
-            if np.dtype(dtype) != np.float64:
-                plan = tp.cast_pack_floats(plan, dtype)
-            plans.append((plan, pack.gc[lvl - 1]))
-        # one explicit transfer for the fresh per-epoch plans (their
-        # numpy leaves would otherwise each pay a transfer at dispatch)
+        # global new-row mask over the box capacity
+        newmask = np.zeros(self.cc.shape[1], bool)
+        if info.n_add:
+            newmask[np.asarray(info.added, np.int64)] = True
         sh = self.tree.__dict__.get("_replicate_sharding")
-        plans = (jax.device_put(tuple(plans), sh) if sh is not None
-                 else jax.device_put(tuple(plans)))
+        newmask = (jax.device_put(newmask, sh) if sh is not None
+                   else jax.device_put(newmask))
         fld.set_voltage(time)
         scal = {"voltage": fld.current_voltage}
         if fld.lsf_data is not None:
@@ -1332,7 +1336,7 @@ class Simulation:
                 else fld.current_voltage)
         dt_ph = float(time - self._photoi_prev_time) if ph_on else 0.0
         cache = self.__dict__.setdefault("_jit_epi", {})
-        key = (trash, str(dtype), len(plans), ph_on)
+        key = (trash, str(dtype), ph_on)
         if key not in cache:
             by_m = {}
             for iv in self.registry.auto_vars:
@@ -1340,11 +1344,13 @@ class Simulation:
                 k = (m["prolong"], m["rb"], id(m["bc"]))
                 by_m.setdefault(k, (m, []))[1].append(iv)
             groups = tuple((m, tuple(ivs)) for m, ivs in by_m.values())
+            auto_ivs = np.asarray(
+                sorted(iv for _, ivs in groups for iv in ivs), np.int32)
             photoi = self.photoi
             mgf = fld.mg
 
-            def traced(cc, fc, plans, scal, dt_ph, mg_pack, mg_aux,
-                       ph_packs):
+            def traced(cc, fc, fl_pack, newmask, scal, dt_ph, mg_pack,
+                       mg_aux, ph_packs):
                 with ExitStack() as stx:
                     stx.enter_context(ambient_packs(mgf, mg_pack,
                                                     mg_aux))
@@ -1352,28 +1358,37 @@ class Simulation:
                         for pmg, (pp, pa) in zip(photoi.mgs, ph_packs):
                             stx.enter_context(ambient_packs(pmg, pp, pa))
                     fc = fc.at[:, :, trash].set(0.0)
-                    for plan, gplan in plans:
+                    nm = newmask.at[trash].set(False)
+                    blend = nm[None, :, None]
+                    for lvl in range(2, fl_pack.n_levels + 1):
                         # re-zero trash before every level's prolong:
-                        # padded gather entries of the NEXT level's plan
-                        # read the trash row and expect zeros (the
-                        # per-level dispatches zeroed it each call)
+                        # padded gather entries of the next level's plan
+                        # read the trash row and expect zeros
                         cc = cc.at[:, trash].set(0.0)
+                        plan = fl_pack.pr[lvl - 1]
+                        # prolong EVERY child of the level, keep the
+                        # result only on the newly added rows: existing
+                        # children keep their evolved state
+                        cc2 = cc
                         for m, ivs in groups:
-                            cc = pr.prolong(cc, plan, list(ivs),
-                                            m["prolong"])
+                            cc2 = pr.prolong(cc2, plan, list(ivs),
+                                             m["prolong"])
+                        cc = cc.at[auto_ivs].set(
+                            jnp.where(blend, cc2[auto_ivs],
+                                      cc[auto_ivs]))
                         for m, ivs in groups:
-                            cc = gc.fill_ghosts_lvl(cc, gplan, list(ivs),
-                                                    m["rb"], m["bc"],
-                                                    scal)
+                            cc = gc.fill_ghosts_lvl(
+                                cc, fl_pack.gc[lvl - 1], list(ivs),
+                                m["rb"], m["bc"], scal)
                     cc = cc.at[:, trash].set(0.0)
                     cc, fc, _res = fld._solve_body(cc, fc, scal, 0)
                     if ph_on:
                         cc = photoi._set_src_body(cc, scal, dt_ph)
                 return cc, fc
 
-            cache[key] = jax.jit(traced)
-        self.cc, self.fc = cache[key](self.cc, self.fc, plans, scal,
-                                      jnp.asarray(dt_ph), mg_pack,
+            cache[key] = jax.jit(traced, donate_argnums=(0, 1))
+        self.cc, self.fc = cache[key](self.cc, self.fc, pack, newmask,
+                                      scal, jnp.asarray(dt_ph), mg_pack,
                                       mg_aux, ph_packs)
         self.batch.cc, self.batch.fc = self.cc, self.fc
         if ph_on:
