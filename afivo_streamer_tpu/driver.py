@@ -1082,12 +1082,38 @@ class Simulation:
         # branches of the epoch prologue compile regardless of the flag)
         _, crit_ids, crit_mdx = self._crit_args()
         cc, fc = jnp.copy(self.cc), jnp.copy(self.fc)  # donated by fn
+        # also pre-compile the refinement-epoch EPILOGUE for the next
+        # level: its shapes are a function of the (no-gc2) epoch pack,
+        # so a phantom pack covers the post-growth executable the same
+        # way (driver._jit_epoch_epilogue is otherwise the one per-level
+        # compile left on the growth path)
+        epi_args = None
+        epi_key = (trash, str(self.cc.dtype),
+                   self.photoi.enabled and getattr(
+                       self, "_photoi_compiled", False))
+        epi_fn = self.__dict__.get("_jit_epi", {}).get(epi_key)
+        if epi_fn is not None and not epi_key[2]:
+            fl_ph_epi = tp.build_epoch_pack(
+                t, pad=pad, trash=trash, with_gc2=False,
+                dtype=self.cc.dtype, phantom=1)
+            scal_ph = {"voltage": float(self.field.current_voltage)}
+            if self.field.lsf_data is not None:
+                scal_ph["lsf_phi_b"] = float(
+                    getattr(self.field, "lsf_phi_b", 0.0) or 0.0)
+            newmask_ph = jax.device_put(
+                np.zeros(self.cc.shape[1], bool))
+            epi_args = (jnp.copy(self.cc), jnp.copy(self.fc), fl_ph_epi,
+                        newmask_ph, scal_ph, jnp.asarray(0.0),
+                        mg_pack_ph, mg_aux_ph, [])
 
         def go():
             try:
                 out = fn(cc, fc, dt, time, fl_ph, mg_pack_ph, mg_aux_ph,
                          jnp.asarray(True), crit_ids, crit_mdx)
                 jax.block_until_ready(out)
+                if epi_args is not None:
+                    out2 = epi_fn(*epi_args)
+                    jax.block_until_ready(out2)
             except Exception as e:  # never take down the run
                 self._warmed.discard(wkey)  # allow a retry
                 print(f"warm_next_level failed (lvl {wkey[0]}): {e!r}",

@@ -248,6 +248,14 @@ def main():
         sim.run(end_time=end_time)
     except KeyboardInterrupt:
         partial = True
+    except Exception as e:  # noqa: BLE001 — tunnel RPC failures etc.
+        # a mid-run device/tunnel error must still yield the JSON line
+        # with the steady-state estimate over the completed steps
+        import traceback
+        traceback.print_exc()
+        print(f"bench: run aborted by {type(e).__name__}: {e}",
+              flush=True)
+        partial = True
     emit(partial)
 
 
