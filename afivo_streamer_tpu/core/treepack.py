@@ -82,6 +82,12 @@ def bucket_hwm(tree, key, n: int) -> int:
             # cache include it, so a synchronized doubling invalidates
             # every cached padded plan at once (their shapes changed)
             tree._bucket_gen = tree.__dict__.get("_bucket_gen", 0) + 1
+            # a synchronized doubling retraces every compiled unit
+            # (~minutes of remote XLA on TPU): name the trigger so runs
+            # that hit one are diagnosable from the log alone
+            print(f"bucket doubling -> gen "
+                  f"{tree._bucket_gen}: table {key} needs {n} "
+                  f"(mark was {old})", flush=True)
             for k in hw:
                 hw[k] = 2 * hw[k]
             old = hw.get(key, 0)

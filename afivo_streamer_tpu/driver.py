@@ -286,6 +286,11 @@ class Simulation:
         # the device result so every bucket is real device time
         self.wc = {k: 0.0 for k in ("flux", "source", "advance", "copy",
                                     "field", "output", "refine", "photoi")}
+        # finer-grained sub-phase timers (disjoint slices INSIDE the wc
+        # buckets above; diagnostic only — bench.py emits them as
+        # wc_detail so a partial artifact still says where the host
+        # seconds went: dispatch vs blocked pull vs epoch sub-phases)
+        self.wc2 = {}
         self.fluid.wc = self.wc
         self._photoi_prev_time = 0.0
         self.refine_prepulse_time = cfg.add_get(
@@ -728,6 +733,7 @@ class Simulation:
         import jax
         import jax.numpy as jnp
         from .core import treepack as tp
+        t0p = _time.time()
         eval_ids, crit_ids, crit_mdx = self._crit_args()
         fl_pack = tp.get_epoch_pack(self.tree, pad=self.fluid._jit_cfg[0],
                                     trash=self.fluid._jit_cfg[1],
@@ -744,8 +750,13 @@ class Simulation:
         if sig != self.__dict__.get("_fused_sig"):
             th = self.__dict__.get("_warm_thread")
             if th is not None and th.is_alive():
+                t0j = _time.time()
                 th.join()
+                self.wc2["warm_join"] = (
+                    self.wc2.get("warm_join", 0.0) + _time.time() - t0j)
             self._fused_sig = sig
+        self.wc2["adv_pack"] = (
+            self.wc2.get("adv_pack", 0.0) + _time.time() - t0p)
         cc, fc, stats, codes = self._fused_fn()(
             self.cc, self.fc, dt, time, fl_pack, mg_pack, mg_aux,
             jnp.asarray(bool(epoch)), crit_ids, crit_mdx)
@@ -1442,9 +1453,12 @@ class Simulation:
             # surface prolong/restrict of this epoch
             self.surfaces.cc_to_sd(self.cc, self.i_surf_photon,
                                    self.i_surf_sigma)
+        t0a = _time.time()
         info = self.tree.adjust_refinement(
             flags_fn, ref_buffer=self.refine_cfg.buffer_width,
             ref_links=links)
+        self.wc2["ref_topology"] = (
+            self.wc2.get("ref_topology", 0.0) + _time.time() - t0a)
         if self.surfaces is not None and (info.n_add or info.n_rm):
             self.surfaces.update_after_refinement(info)
         if info.n_add == 0 and info.n_rm == 0:
@@ -1454,7 +1468,10 @@ class Simulation:
             # compiled mode: the data movement (capacity growth,
             # prolongation into new boxes, ghost fill) stays on device —
             # no full-state host round-trip per refinement epoch
+            t0e = _time.time()
             self._enable_compiled()
+            self.wc2["ref_rewire"] = (
+                self.wc2.get("ref_rewire", 0.0) + _time.time() - t0e)
             if defer_device_prolong:
                 self._deferred_epoch_prolong = True
             else:
@@ -1779,7 +1796,10 @@ class Simulation:
 
             # per-iteration user hook (streamer.f90:181-183)
             if self.user.generic is not None:
+                t1h = _time.time()
                 self.user.generic(self, time)
+                self.wc2["hook"] = (self.wc2.get("hook", 0.0)
+                                    + _time.time() - t1h)
 
             # pulse-train bookkeeping (streamer.f90:216-234)
             time_until_next_pulse = (self.field.field_pulse_period
@@ -1841,6 +1861,9 @@ class Simulation:
                 import jax
                 (self.cc, self.fc, stats_dev, codes_dev,
                  eval_ids) = self._jit_full_step(dt, time, fused_epoch)
+                t_disp = _time.time()
+                self.wc2["adv_dispatch"] = (
+                    self.wc2.get("adv_dispatch", 0.0) + t_disp - t1)
                 if fused_epoch:
                     # one overlapped pull for both (device_get issues the
                     # D2H copies together — no second round trip)
@@ -1851,10 +1874,15 @@ class Simulation:
                             codes[:len(eval_ids)]))
                 else:
                     stats = np.asarray(stats_dev)
+                self.wc2["adv_wait"] = (
+                    self.wc2.get("adv_wait", 0.0) + _time.time() - t_disp)
                 self.wc["advance"] += _time.time() - t1
                 # pre-compile the next refinement level's executable in
                 # the background (no-op once warmed for this structure)
+                t1w = _time.time()
                 self._warm_next_level(dt, time)
+                self.wc2["warm_sched"] = (
+                    self.wc2.get("warm_sched", 0.0) + _time.time() - t1w)
                 dt, dt_lim = float(stats[0]), float(stats[1])
                 n_rej = int(stats[7])
                 if not stats[8] > 0:
@@ -2033,12 +2061,19 @@ class Simulation:
                             self.cc = gc.fill_ghosts_lvl(
                                 self.cc, plan, [iv], m["rb"], m["bc"], {})
                 self._deferred_epoch_prolong = False
+                t1a = _time.time()
                 info = self.adjust_refinement(defer_device_prolong=True)
+                t1b = _time.time()
+                self.wc2["ref_adjust"] = (
+                    self.wc2.get("ref_adjust", 0.0) + t1b - t1a)
                 if info.n_add > 0 or info.n_rm > 0:
                     if self._deferred_epoch_prolong:
                         # compiled path: prolong into new boxes + field
                         # solve + (compiled) photoi in ONE dispatch
                         self._jit_epoch_epilogue(info, time)
+                        self.wc2["ref_epilogue"] = (
+                            self.wc2.get("ref_epilogue", 0.0)
+                            + _time.time() - t1b)
                         if (self.photoi.enabled and not getattr(
                                 self, "_photoi_compiled", False)):
                             self.cc = self._photoi_set_src(time)

@@ -138,7 +138,10 @@ def main():
     last = [time.time()]
     prof = {"phase": "idle", "start_it": 0, "result": None,
             "dir": "/tmp/bench/profile", "n": 4,
-            "at_it": int(os.environ.get("BENCH_PROFILE_AT", "61")),
+            # default window sits in level-10 steady state, clear of the
+            # post-growth background warm compile that polluted the it=61
+            # window (device totals included the phantom step's execution)
+            "at_it": int(os.environ.get("BENCH_PROFILE_AT", "151")),
             "on": os.environ.get("BENCH_PROFILE", "1") == "1"}
 
     def per_step(s, time_now):
@@ -211,6 +214,12 @@ def main():
                 "wc_breakdown": dict(
                     {k: round(v, 1) for k, v in sim.wc.items() if v > 0.0},
                     other=round(max(0.0, wall - sum(sim.wc.values())), 1)),
+                # sub-phase slices INSIDE the buckets above (driver.wc2):
+                # dispatch vs blocked pull, pack assembly, epoch topology
+                # vs rewire vs epilogue-dispatch, warm-thread joins
+                "wc_detail": {k: round(v, 1)
+                              for k, v in getattr(sim, "wc2", {}).items()
+                              if v > 0.05},
                 "poisson_benchmark": poisson,
             },
         }
