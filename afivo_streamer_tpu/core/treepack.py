@@ -66,15 +66,19 @@ def bucket_hwm(tree, key, n: int) -> int:
         # remote XLA compile on TPU; padded device work is nearly free
         # in the latency-bound regime (driver.compiled%prepad)
         b = bucket(int(np.ceil(n * tree.__dict__.get("_prepad", 1.0))))
-    # phantom levels (see phantom_levels below): every per-level case the
-    # new level COULD have must exist with at least the minimum bucket,
-    # even when the mirrored finest-level mark is zero — a newborn level
-    # often has cases its predecessor lacked (e.g. refinement boundaries
-    # on a side the old finest never exposed), and a missing case means a
-    # different pytree treedef, i.e. a wasted pre-compile
-    floors = tree.__dict__.get("_phantom_floor")
-    if floors and len(key) >= 2 and key[1] in floors:
-        b = max(b, 4)
+    # GLOBAL floor: every padded case table exists (all-trash) even while
+    # the case is empty, at every level, from the level's first pack.
+    # Plan builders key their pytree children on mark>0 ("empty this
+    # epoch but mark nonzero -> dummy tables"); a mark of 0 means the
+    # child is ABSENT, so the first real occurrence of a case mid-run
+    # (e.g. a refinement boundary on a side a level never exposed, or a
+    # coarse-fine flux coupling on a new direction) changed the epoch
+    # pack's TREEDEF and forced a blocking retrace of every compiled
+    # unit (~minutes of remote XLA; the round-4 bench's deterministic
+    # it=554 stall). With the floor, a case birth with <=4 rows is a jit
+    # cache hit; larger births fall into the synchronized-doubling path
+    # below (one logged retrace). The cost is 4 trash rows per case.
+    b = max(b, 4)
     if b > old > 0:
         if tree.__dict__.get("_bucket_gen_epoch") != tree.epoch:
             tree._bucket_gen_epoch = tree.epoch
@@ -164,10 +168,10 @@ def phantom_levels(tree, n: int):
     marks from the current finest level (and the finest coarse-fine
     coupling for the flux-matching groups)."""
     L = tree.highest_lvl
-    floors = tree.__dict__.setdefault("_phantom_floor", set())
     for k in range(1, n + 1):
         seed_phantom_marks(tree, L, L + k)
-        floors.add(L + k)  # min-bucket every phantom-level case
+        # (every case of the phantom level is additionally floored at the
+        # minimum bucket by bucket_hwm's global floor)
         # flux-matching groups key on the COARSE level of the coupling:
         # the phantom coupling (L -> L+1) mirrors the (L-1 -> L) one
         hw = tree.__dict__.setdefault("_bucket_hwm", {})
@@ -274,10 +278,53 @@ def plan_transfer_batch(tree):
             keys = [k for k, _ in batch]
             objs = [o for _, o in batch]
             sh = tree.__dict__.get("_replicate_sharding")
-            objs = (jax.device_put(objs, sh) if sh is not None
-                    else jax.device_put(objs))
+            objs = _device_put_packed(objs, sh)
             for k, o in zip(keys, objs):
                 cache[k] = o
+
+
+def _device_put_packed(objs, sh=None):
+    """device_put a pytree of host plan arrays as ONE packed buffer per
+    dtype, then carve the leaves back out with device-side slices.
+
+    Why: over a remote TPU tunnel, ``jax.device_put`` pays one blocking
+    round trip per NOVEL buffer (~15-45 ms measured; repeated content is
+    deduplicated). A topology-changing refinement epoch rebuilds a few
+    hundred small plan tables with fresh content — i.e. seconds of wall
+    per epoch, which was the dominant 'refine' share of the production
+    bench for three rounds. Packing makes the epoch <=6 transfers (one
+    per dtype); the per-leaf slice+reshape are ASYNC device dispatches
+    (~0.1 ms each, they pipeline behind the transfer)."""
+    from jax import lax
+    leaves, treedef = jax.tree_util.tree_flatten(objs)
+    by_dt = {}   # dtype -> [host ravels], running offset via list
+    metas = []   # per leaf: (dtype_key, offset, n, shape) or None (0-size)
+    for lf in leaves:
+        a = np.asarray(lf)
+        if a.dtype.kind in "OUS":
+            raise TypeError(f"non-numeric plan leaf of dtype {a.dtype}")
+        if a.size == 0:
+            metas.append((None, 0, 0, (a.shape, a.dtype)))
+            continue
+        bucket_l = by_dt.setdefault(a.dtype.str, [0, []])
+        off = bucket_l[0]
+        bucket_l[1].append(a.ravel())
+        bucket_l[0] = off + a.size
+        metas.append((a.dtype.str, off, a.size, a.shape))
+    bufs = {k: np.concatenate(v[1]) for k, v in by_dt.items()}
+    dbufs = (jax.device_put(bufs, sh) if sh is not None
+             else jax.device_put(bufs))
+    out = []
+    for dk, off, n, shape in metas:
+        if dk is None:
+            shape, dt = shape
+            out.append(jax.device_put(np.zeros(shape, dt), sh)
+                       if sh is not None
+                       else jax.device_put(np.zeros(shape, dt)))
+            continue
+        seg = lax.slice(dbufs[dk], (off,), (off + n,))
+        out.append(seg.reshape(shape))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def plan_cache_tick(tree, keep: int = 8):

@@ -760,6 +760,11 @@ class Simulation:
         cc, fc, stats, codes = self._fused_fn()(
             self.cc, self.fc, dt, time, fl_pack, mg_pack, mg_aux,
             jnp.asarray(bool(epoch)), crit_ids, crit_mdx)
+        try:
+            self.wc2["fused_traces"] = float(
+                self._fused_fn()._cache_size())
+        except Exception:
+            pass
         return cc, fc, stats, codes, eval_ids
 
     def _fused_fn(self):
@@ -1427,6 +1432,11 @@ class Simulation:
         self.cc, self.fc = cache[key](self.cc, self.fc, pack, newmask,
                                       scal, jnp.asarray(dt_ph), mg_pack,
                                       mg_aux, ph_packs)
+        try:  # trace-count gauge: >1 per structure epoch means the
+            # "shape-stable" contract is broken somewhere in the pack
+            self.wc2["epi_traces"] = float(cache[key]._cache_size())
+        except Exception:
+            pass
         self.batch.cc, self.batch.fc = self.cc, self.fc
         if ph_on:
             self._photoi_prev_time = time

@@ -340,7 +340,12 @@ def build_A_blocks(mg, lvl: int, Pc, scal, dtype):
             val = gamma * (jnp.asarray(val).astype(dtype)
                            + jnp.zeros((nbc, nc), dtype))
             Ad = Ad.at[jnp.asarray(sm.bc_pos[d])].add(val)
-        if d in sm.rb_dirs:
+        # rb_dirs may list a direction whose rb case is an all-trash
+        # floor bucket (treepack.bucket_hwm's global floor); when the
+        # coarse block is absent (Pc None / no rb_cpos) the case is
+        # necessarily dummy-only — skip it
+        if d in sm.rb_dirs and Pc is not None \
+                and bp.rb_cpos[d] is not None:
             p = plan.dirs[d]
             strips = Pc.reshape(-1, C * C)[
                 jnp.asarray(bp.rb_cpos[d])[:, None],
