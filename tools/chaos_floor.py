@@ -36,6 +36,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Golden cases are defined at f64 on CPU (tests/conftest.py); also keeps
+# this tool off the TPU so it can run alongside a hardware benchmark.
+# The axon sitecustomize forces the TPU platform, so the jax.config
+# call (not just the env var) is required.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms",
+                  os.environ.get("CHAOS_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", True)
+
 
 def rel_dev(a, b):
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -77,10 +87,17 @@ def main():
 
     base, sim = run("base")
     # perturb every seed density by a relative eps (the smallest physical
-    # knob the config exposes; 1e-12 is ~10 ulp of f64 at these scales)
-    seeds = sim.init_cond.seed_density
-    pert_vals = " ".join(repr(float(v) * (1.0 + args.eps)) for v in seeds)
-    pert, _ = run("pert", (f"-seed_density={pert_vals}",))
+    # knob the config exposes; 1e-12 is ~10 ulp of f64 at these scales).
+    # Electrode cases have no seeds — perturb the background density.
+    seeds = getattr(sim.init_cond, "seed_density", None)
+    if seeds is not None and len(seeds):
+        pert_vals = " ".join(repr(float(v) * (1.0 + args.eps))
+                             for v in seeds)
+        knob = (f"-seed_density={pert_vals}",)
+    else:
+        bg = float(sim.init_cond.background_density)
+        knob = (f"-background_density={bg * (1.0 + args.eps)!r}",)
+    pert, _ = run("pert", knob)
 
     ref = np.loadtxt(golden, skiprows=1, ndmin=2)
     n = min(len(base), len(pert), len(ref))
