@@ -742,19 +742,30 @@ class Simulation:
         # serialize traces against the background warmer: when this call's
         # input structure changed (an unwarmed growth or a bucket-
         # generation doubling), the call will RETRACE on this thread; a
-        # concurrently tracing warm thread must finish first
-        leaves, treedef = jax.tree_util.tree_flatten(
-            (fl_pack, mg_pack, mg_aux))
-        sig = (treedef, tuple(getattr(l, "shape", ()) for l in leaves),
-               self.cc.shape, crit_ids.shape)
-        if sig != self.__dict__.get("_fused_sig"):
-            th = self.__dict__.get("_warm_thread")
-            if th is not None and th.is_alive():
-                t0j = _time.time()
-                th.join()
-                self.wc2["warm_join"] = (
-                    self.wc2.get("warm_join", 0.0) + _time.time() - t0j)
-            self._fused_sig = sig
+        # concurrently tracing warm thread must finish first. The
+        # structure is a function of (topology epoch, bucket generation,
+        # dtype, capacity) alone, so the expensive full-pack flatten +
+        # shape signature runs only when that key changes (it was ~270
+        # ms/step of pure Python at 11 levels when computed every step)
+        pkey = (self.tree.epoch,
+                self.tree.__dict__.get("_bucket_gen", 0),
+                str(self.cc.dtype), self.cc.shape, crit_ids.shape)
+        if pkey != self.__dict__.get("_fused_pkey"):
+            leaves, treedef = jax.tree_util.tree_flatten(
+                (fl_pack, mg_pack, mg_aux))
+            sig = (treedef,
+                   tuple(getattr(l, "shape", ()) for l in leaves),
+                   self.cc.shape, crit_ids.shape)
+            if sig != self.__dict__.get("_fused_sig"):
+                th = self.__dict__.get("_warm_thread")
+                if th is not None and th.is_alive():
+                    t0j = _time.time()
+                    th.join()
+                    self.wc2["warm_join"] = (
+                        self.wc2.get("warm_join", 0.0)
+                        + _time.time() - t0j)
+                self._fused_sig = sig
+            self._fused_pkey = pkey
         self.wc2["adv_pack"] = (
             self.wc2.get("adv_pack", 0.0) + _time.time() - t0p)
         cc, fc, stats, codes = self._fused_fn()(
@@ -1356,9 +1367,15 @@ class Simulation:
         fld = self.field
         pad, trash = self.fluid._jit_cfg
         dtype = self.cc.dtype
+        t0 = _time.time()
         pack = tp.get_epoch_pack(self.tree, pad=True, trash=trash,
                                  dtype=dtype)
+        t_pk = _time.time()
+        self.wc2["epi_pack"] = (self.wc2.get("epi_pack", 0.0)
+                                + t_pk - t0)
         mg_pack, mg_aux = fld.mg._pack_and_ops(dtype=dtype)
+        self.wc2["epi_mgpack"] = (self.wc2.get("epi_mgpack", 0.0)
+                                  + _time.time() - t_pk)
         ph_on = (self.photoi.enabled
                  and getattr(self, "_photoi_compiled", False))
         ph_packs = ([mg._pack_and_ops(dtype=dtype)
@@ -1429,9 +1446,12 @@ class Simulation:
                 return cc, fc
 
             cache[key] = jax.jit(traced, donate_argnums=(0, 1))
+        t_dp = _time.time()
         self.cc, self.fc = cache[key](self.cc, self.fc, pack, newmask,
                                       scal, jnp.asarray(dt_ph), mg_pack,
                                       mg_aux, ph_packs)
+        self.wc2["epi_dispatch"] = (self.wc2.get("epi_dispatch", 0.0)
+                                    + _time.time() - t_dp)
         try:  # trace-count gauge: >1 per structure epoch means the
             # "shape-stable" contract is broken somewhere in the pack
             self.wc2["epi_traces"] = float(cache[key]._cache_size())

@@ -110,13 +110,17 @@ def main():
 
     dtype = "float32" if on_tpu else "float64"
     ref = "/root/reference/programs/standard_2d/tests"
-    # 2 ns covers inception + growth with real AMR (~700 adaptive
-    # steps); long enough for the median to be a steady-state estimate,
-    # short enough that a healthy-tunnel run finishes inside the
-    # watchdog window (degraded tunnel phases can stall any horizon —
-    # the watchdog below then reports the partial median)
+    # 1.2 ns covers inception + the full level-9->11 AMR growth (~550
+    # adaptive steps, level-10/11 steady state from ~0.45 ns on): long
+    # enough that the median is a steady-state estimate, and — unlike
+    # the 2 ns horizon of rounds 1-4, which the 1500 s watchdog killed
+    # every round (partial_run: true four times) — short enough that a
+    # healthy-tunnel run FINISHES: round-5 measurement reached 1.286 ns
+    # in 1364 s wall including setup+compile (BENCH log r5d). The
+    # us/cell/step metric is intensive, so the shorter horizon changes
+    # nothing about what is measured, only whether the run completes.
     end_time = float(os.environ.get("BENCH_END_TIME",
-                                    "2e-9" if on_tpu else "0.5e-9"))
+                                    "1.2e-9" if on_tpu else "0.5e-9"))
     sim = Simulation(argv=[
         f"{ref}/test_cyl.cfg", "-ndim=2",
         f"-input_data%file={ref}/td_air_siglo_swarm.txt",

@@ -18,5 +18,7 @@ for case in \
     test_cyl_2pulse \
 ; do
     echo "=== $case $(date -u +%H:%M:%S)" >&2
-    python tools/chaos_floor.py "$case" >> "$OUT" 2>>"$OUT.err"
+    python tools/chaos_floor.py "$case" 2>>"$OUT.err" \
+        | grep '^{' >> "$OUT"   # keep only the JSON result line
+                                # (the sim prints progress to stdout)
 done
