@@ -1447,11 +1447,27 @@ class Simulation:
 
             cache[key] = jax.jit(traced, donate_argnums=(0, 1))
         t_dp = _time.time()
+        try:
+            n_exe0 = cache[key]._cache_size()
+        except Exception:
+            n_exe0 = -1
         self.cc, self.fc = cache[key](self.cc, self.fc, pack, newmask,
                                       scal, jnp.asarray(dt_ph), mg_pack,
                                       mg_aux, ph_packs)
-        self.wc2["epi_dispatch"] = (self.wc2.get("epi_dispatch", 0.0)
-                                    + _time.time() - t_dp)
+        d_dp = _time.time() - t_dp
+        grew = False
+        try:
+            grew = cache[key]._cache_size() > n_exe0
+        except Exception:
+            pass
+        # attribute compile-calls (executable-cache growth) separately
+        # from steady-state dispatches, and track the worst dispatch
+        k_dp = "epi_compile" if grew else "epi_dispatch"
+        self.wc2[k_dp] = self.wc2.get(k_dp, 0.0) + d_dp
+        self.wc2["epi_calls"] = self.wc2.get("epi_calls", 0.0) + 1.0
+        if not grew:
+            self.wc2["epi_disp_max"] = max(
+                self.wc2.get("epi_disp_max", 0.0), d_dp)
         try:  # trace-count gauge: >1 per structure epoch means the
             # "shape-stable" contract is broken somewhere in the pack
             self.wc2["epi_traces"] = float(cache[key]._cache_size())

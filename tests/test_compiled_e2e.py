@@ -48,6 +48,7 @@ def test_compiled_1d_matches_golden(tmp_path):
                    for v in sim.fluid._jit_units.values()))
 
 
+@pytest.mark.heavy
 def test_compiled_cyl_matches_golden(tmp_path):
     """The flagship 2D axisymmetric case through the compiled engine: real
     AMR growth epochs (device-side prolongation into new boxes), the
@@ -156,6 +157,7 @@ def test_compiled_1d_full_golden(tmp_path):
     assert compare(out + "_rtest.log", f"{REF1}/test_1d_rtest.log")
 
 
+@pytest.mark.heavy
 def test_compiled_dielectric_matches_golden(tmp_path):
     """Dielectrics through the compiled engine (VERDICT round-3 item 2):
     the surface state rides in dedicated cc rows (solvers/surface.py
@@ -268,6 +270,7 @@ def test_compiled_gas_fused_matches_host_small(tmp_path):
     np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.heavy
 def test_compiled_electrode_matches_host(tmp_path):
     """The compiled electrode/variable-LSF path (VERDICT round-3 item 4):
     jitted LSF multigrid units (runtime dd/lsf_cc/bc_coeff side tables),
@@ -349,6 +352,7 @@ def test_compiled_f32_tracks_f64_trajectory(tmp_path):
     np.testing.assert_allclose(a32[:n, 3:], a64[:n, 3:], rtol=1e-3)
 
 
+@pytest.mark.heavy
 def test_compiled_energy_model_matches_host(tmp_path):
     """The ee53 electron-energy model through the compiled engine
     (VERDICT round-3 item 2): energy fluxes (5/3 factor), local

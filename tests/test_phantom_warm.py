@@ -147,6 +147,7 @@ def test_phantom_mg_aux_matches_future_level_lsf():
 
 
 @pytest.mark.skipif(not os.path.isdir(REF1), reason="no reference data")
+@pytest.mark.heavy
 def test_warm_next_level_avoids_retrace(tmp_path):
     """A compiled fused 1D production run crossing a level-adding epoch:
     with warming forced on, the growth epoch must hit the pre-compiled
