@@ -103,7 +103,12 @@ def main():
                 os.path.abspath(__file__)) or ".")
             t_p = time.time()
             from tools.poisson_bench import run as poisson_run
-            poisson = poisson_run()
+            # fmg=False: the FMG executable's cold compile roughly
+            # doubles this pre-run's cost (~470 s measured round 5 with
+            # both units) against the production watchdog budget; the
+            # BASELINE metric only needs the V-cycle number
+            poisson = poisson_run(
+                fmg=os.environ.get("BENCH_FMG", "0") == "1")
             poisson["bench_wall_s"] = round(time.time() - t_p, 1)
         except Exception as e:
             poisson = {"error": str(e)[:200]}
